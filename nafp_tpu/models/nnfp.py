@@ -1,0 +1,187 @@
+"""FingerPrinter encoder (Flax) — TPU-native re-design of the reference CNN.
+
+Architecture contract (reference ``model/fp/nnfp.py``):
+
+    IN (B,F,T,1) >> [ConvLayer]x8 >> Flatten >> DivEnc >> L2-normalize >> (B,128)
+
+- ConvLayer = Conv1x3 -> ELU -> Norm -> Conv3x1 -> ELU -> Norm with the
+  stride schedule of ``nnfp.py:193-197`` (time halves on the 1x3 conv,
+  freq on the 3x1 conv) and 'SAME' padding, channels
+  [128,128,256,256,512,512,1024,1024].
+- ``layer_norm2d`` (default, ``config/default.yaml:48``) normalizes each
+  sample over the whole (F,T,C) volume with per-position scale/offset —
+  parameter shapes follow TF's LayerNormalization(axis=(1,2,3)), which is
+  what makes the 2-s model 19,224,576 params (``nnfp.py:270-274``; the
+  1-s model is 16,939,008).
+- DivEnc (``nnfp.py:86-156``): q=128 slices of the 1024-d flattened
+  feature, each through Dense(32, elu) -> Dense(1). The reference loops
+  over 128 tiny Dense layers in Python (``nnfp.py:148-151``); here it is
+  two batched einsums — one fused MXU matmul pair instead of 256 kernel
+  launches.
+- BatchNorm is supported for parity but layer-norm is the default; the
+  reference itself warns BN misbehaves on TPUs (``nnfp.py:178``).
+
+Mixed precision: convolutions/einsums run in ``dtype`` (bfloat16 by
+default on TPU), normalization statistics and the final L2-normalize in
+float32, parameters always float32.
+"""
+from __future__ import annotations
+
+from typing import Any, Dict, Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+# (time-stride for the 1x3 conv, freq-stride for the 3x1 conv) per layer,
+# expressed exactly like the reference front_strides (nnfp.py:194-197):
+# [(freq, time) for conv1x3, (freq, time) for conv3x1].
+DEFAULT_STRIDES: Tuple[Tuple[Tuple[int, int], Tuple[int, int]], ...] = (
+    ((1, 2), (2, 1)), ((1, 2), (2, 1)),
+    ((1, 2), (2, 1)), ((1, 2), (2, 1)),
+    ((1, 1), (2, 1)), ((1, 2), (2, 1)),
+    ((1, 1), (2, 1)), ((1, 2), (2, 1)),
+)
+DEFAULT_CHANNELS: Tuple[int, ...] = (128, 128, 256, 256, 512, 512, 1024, 1024)
+
+_glorot = nn.initializers.glorot_uniform()
+
+
+class LayerNorm2d(nn.Module):
+    """TF-style LayerNormalization(axis=(1,2,3)): per-sample statistics over
+    the full (F,T,C) volume, per-position learnable scale/offset."""
+    epsilon: float = 1e-3  # TF LayerNormalization default
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        shape = x.shape[1:]
+        gamma = self.param("gamma", nn.initializers.ones, shape, jnp.float32)
+        beta = self.param("beta", nn.initializers.zeros, shape, jnp.float32)
+        xf = x.astype(jnp.float32)
+        mean = jnp.mean(xf, axis=(1, 2, 3), keepdims=True)
+        var = jnp.var(xf, axis=(1, 2, 3), keepdims=True)
+        y = (xf - mean) * jax.lax.rsqrt(var + self.epsilon)
+        return (y * gamma + beta).astype(x.dtype)
+
+
+class ConvLayer(nn.Module):
+    """Separable-style conv block (reference ``nnfp.py:20-83``)."""
+    hidden_ch: int
+    strides: Tuple[Tuple[int, int], Tuple[int, int]]
+    norm: str = "layer_norm2d"
+    dtype: Any = jnp.float32
+
+    def _norm(self, x, train: bool):
+        if self.norm == "layer_norm2d":
+            return LayerNorm2d()(x)
+        if self.norm == "layer_norm1d":
+            return nn.LayerNorm(epsilon=1e-3, dtype=jnp.float32)(x).astype(x.dtype)
+        # batch_norm (axis=-1, TF defaults momentum .99 / eps 1e-3)
+        return nn.BatchNorm(use_running_average=not train, momentum=0.99,
+                            epsilon=1e-3, dtype=jnp.float32)(x).astype(x.dtype)
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+        x = nn.Conv(self.hidden_ch, (1, 3), strides=self.strides[0],
+                    padding="SAME", kernel_init=_glorot,
+                    dtype=self.dtype, name="conv_1x3")(x)
+        x = nn.elu(x)
+        x = self._norm(x, train)
+        x = nn.Conv(self.hidden_ch, (3, 1), strides=self.strides[1],
+                    padding="SAME", kernel_init=_glorot,
+                    dtype=self.dtype, name="conv_3x1")(x)
+        x = nn.elu(x)
+        x = self._norm(x, train)
+        return x
+
+
+class DivEncLayer(nn.Module):
+    """Divide-and-encode head as two batched einsums.
+
+    Equivalent math to the reference's 128-way Python loop of
+    Dense(32, elu) -> Dense(1) per slice (``nnfp.py:132-151``), expressed
+    as (B,Q,S)x(Q,S,U) and (B,Q,U)x(Q,U,1) contractions that XLA maps to
+    single MXU calls.
+    """
+    q: int = 128
+    unit_dim: Tuple[int, int] = (32, 1)
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:  # x: (B, D)
+        b, d = x.shape
+        assert d % self.q == 0, f"flattened dim {d} not divisible by q={self.q}"
+        s = d // self.q
+        u0, u1 = self.unit_dim
+        # Per-slice glorot: fan axes are the last two, slice axis is batch.
+        slice_glorot = nn.initializers.glorot_uniform(in_axis=-2, out_axis=-1,
+                                                      batch_axis=0)
+        w1 = self.param("w1", slice_glorot, (self.q, s, u0), jnp.float32)
+        b1 = self.param("b1", nn.initializers.zeros, (self.q, u0), jnp.float32)
+        w2 = self.param("w2", slice_glorot, (self.q, u0, u1), jnp.float32)
+        b2 = self.param("b2", nn.initializers.zeros, (self.q, u1), jnp.float32)
+
+        xs = x.reshape(b, self.q, s).astype(self.dtype)
+        h = jnp.einsum("bqs,qsu->bqu", xs, w1.astype(self.dtype),
+                       preferred_element_type=jnp.float32) + b1
+        h = nn.elu(h).astype(self.dtype)
+        out = jnp.einsum("bqu,quv->bqv", h, w2.astype(self.dtype),
+                         preferred_element_type=jnp.float32) + b2
+        return out[..., 0]  # (B, Q)
+
+
+class FingerPrinter(nn.Module):
+    """The fingerprint encoder g(f(.)) (reference ``nnfp.py:159-231``)."""
+    emb_sz: int = 128
+    front_hidden_ch: Sequence[int] = DEFAULT_CHANNELS
+    front_strides: Sequence = DEFAULT_STRIDES
+    fc_unit_dim: Tuple[int, int] = (32, 1)
+    norm: str = "layer_norm2d"
+    use_l2layer: bool = True
+    dtype: Any = jnp.float32
+
+    def setup(self):
+        ch = list(self.front_hidden_ch)
+        if ch[-1] % self.emb_sz != 0:  # round up (nnfp.py:211-212)
+            ch[-1] = (ch[-1] // self.emb_sz + 1) * self.emb_sz
+        self.conv_layers = [
+            ConvLayer(hidden_ch=ch[i], strides=self.front_strides[i],
+                      norm=self.norm, dtype=self.dtype, name=f"conv_layer_{i}")
+            for i in range(len(self.front_strides))
+        ]
+        self.div_enc = DivEncLayer(q=self.emb_sz, unit_dim=self.fc_unit_dim,
+                                   dtype=self.dtype)
+
+    def front(self, x: jax.Array, train: bool = False) -> jax.Array:
+        """f(.): conv stack + flatten -> (B, D)."""
+        x = x.astype(self.dtype)
+        for layer in self.conv_layers:
+            x = layer(x, train=train)
+        return x.reshape(x.shape[0], -1)
+
+    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+        f = self.front(x, train=train)
+        g = self.div_enc(f).astype(jnp.float32)
+        if self.use_l2layer:
+            g = l2_normalize(g)
+        return g
+
+    def taps(self, x: jax.Array) -> Tuple[jax.Array, jax.Array, jax.Array]:
+        """Mini-search validation taps: f, L2(f), L2(g(f))
+        (reference trainer.py:67-77)."""
+        f = self.front(x, train=False).astype(jnp.float32)
+        g = l2_normalize(self.div_enc(f).astype(jnp.float32))
+        return f, l2_normalize(f), g
+
+
+def l2_normalize(x: jax.Array, axis: int = -1, eps: float = 1e-12) -> jax.Array:
+    """Match tf.math.l2_normalize semantics (rsqrt(max(sum(x^2), eps)))."""
+    sq = jnp.sum(jnp.square(x), axis=axis, keepdims=True)
+    return x * jax.lax.rsqrt(jnp.maximum(sq, eps))
+
+
+def get_fingerprinter(cfg: Dict[str, Any]) -> FingerPrinter:
+    """Build from a framework config dict (reference ``nnfp.py:234-258``)."""
+    dtype = jnp.bfloat16 if cfg["MODEL"].get("MIXED_PRECISION", True) else jnp.float32
+    return FingerPrinter(emb_sz=int(cfg["MODEL"]["EMB_SZ"]),
+                         norm=cfg["MODEL"]["BN"], dtype=dtype)

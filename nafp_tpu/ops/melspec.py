@@ -159,6 +159,11 @@ def melspectrogram(x: jax.Array, cfg: MelSpecConfig) -> jax.Array:
     """
     if x.ndim == 3:
         x = x[:, 0, :]
+    if x.shape[-1] != cfg.n_samples:
+        # Guard explicitly: JAX gather clamps out-of-bounds indices, which
+        # would otherwise silently mangle wrong-length inputs.
+        raise ValueError(f"waveform length {x.shape[-1]} != expected "
+                         f"{cfg.n_samples} (fs*dur)")
     basis, mel_fb, frame_idx = _constants(cfg)
     pad = cfg.n_fft // 2
     xp = jnp.pad(x, ((0, 0), (pad, pad)))
