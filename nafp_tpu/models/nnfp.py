@@ -47,6 +47,14 @@ DEFAULT_CHANNELS: Tuple[int, ...] = (128, 128, 256, 256, 512, 512, 1024, 1024)
 _glorot = nn.initializers.glorot_uniform()
 
 
+def _mxu_einsum(eq: str, a: jax.Array, b: jax.Array) -> jax.Array:
+    """bf16 x bf16 -> f32 einsum on TPU (native MXU mode); plain f32 on CPU,
+    whose XLA DotThunk lacks mixed-type accumulation."""
+    if jax.default_backend() == "tpu":
+        return jnp.einsum(eq, a, b, preferred_element_type=jnp.float32)
+    return jnp.einsum(eq, a.astype(jnp.float32), b.astype(jnp.float32))
+
+
 class LayerNorm2d(nn.Module):
     """TF-style LayerNormalization(axis=(1,2,3)): per-sample statistics over
     the full (F,T,C) volume, per-position learnable scale/offset."""
@@ -122,11 +130,9 @@ class DivEncLayer(nn.Module):
         b2 = self.param("b2", nn.initializers.zeros, (self.q, u1), jnp.float32)
 
         xs = x.reshape(b, self.q, s).astype(self.dtype)
-        h = jnp.einsum("bqs,qsu->bqu", xs, w1.astype(self.dtype),
-                       preferred_element_type=jnp.float32) + b1
+        h = _mxu_einsum("bqs,qsu->bqu", xs, w1.astype(self.dtype)) + b1
         h = nn.elu(h).astype(self.dtype)
-        out = jnp.einsum("bqu,quv->bqv", h, w2.astype(self.dtype),
-                         preferred_element_type=jnp.float32) + b2
+        out = _mxu_einsum("bqu,quv->bqv", h, w2.astype(self.dtype)) + b2
         return out[..., 0]  # (B, Q)
 
 

@@ -5,7 +5,10 @@ this host mesh; real-TPU perf is exercised by bench.py instead.
 """
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Force, don't setdefault: the harness environment bakes JAX_PLATFORMS=axon
+# (remote TPU tunnel) and a sitecustomize that registers the plugin; tests
+# must run on the local 8-device virtual CPU mesh.
+os.environ["JAX_PLATFORMS"] = "cpu"
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (
@@ -14,6 +17,12 @@ if "xla_force_host_platform_device_count" not in _flags:
 import jax  # noqa: E402
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
+
+# The baked sitecustomize registers the axon TPU plugin and stomps
+# jax_platforms at interpreter start; the env var alone is not enough.
+jax.config.update("jax_platforms", "cpu")
+assert jax.devices()[0].platform == "cpu", "tests must not run on the TPU tunnel"
+assert len(jax.devices()) == 8, "expected the 8-device virtual CPU mesh"
 
 # Persistent compilation cache: compile times dominate on the 1-core test
 # box; cached executables make re-runs ~free.
