@@ -1,0 +1,212 @@
+"""Host batch loader: raw waveforms only — augmentation happens on-device.
+
+Counterpart of the reference's ``genUnbalSequence``
+(``model/utils/dataloader_keras.py:11-482``) with one architectural change:
+the reference's worker processes decode audio *and* run all mixing math on
+the CPU (its throughput bottleneck, and this box has one core); here
+``__getitem__`` returns the clean anchor/replica waveforms plus the raw
+bg/IR source segments, and ``nafp_tpu.ops.tdaug`` mixes them inside the
+jitted train step.
+
+Preserved semantics:
+  - anchor offsets uniform in [max(off_min, -margin), min(off_max, margin)]
+    with margin = hop * offset_margin_hop_rate * fs (dataloader:96-98,
+    321-334);
+  - replica offsets uniform within ±margin of the anchor offset, clamped to
+    the segment's legal range (:339-378);
+  - bg/ir selection by batch-position modulo shuffled source lists
+    (:231-299), bg offset random in [0, dur/2] capped by the source segment
+    residual (:401-426), IR from segment 0 only (:164-167);
+  - n_anchor == bsz -> anchors only, no augmentation sources (test/dummy
+    loaders, dataset.py:204-214);
+  - ``reduce_batch_first_half`` -> replicas only (query synthesis, :308-309);
+  - drop-last only for training (:130-136).
+
+Deliberate deviation: the reference seeds numpy *per segment index*
+(:328) so every epoch replays identical anchor offsets; here randomness is
+keyed by (seed, epoch, batch) — reproducible run-to-run, fresh per epoch.
+"""
+from __future__ import annotations
+
+import math
+import queue
+import threading
+from typing import Dict, List, Optional, Sequence
+
+import numpy as np
+
+from nafp_tpu.data.audio_io import load_wav_segment
+
+MAX_IR_LENGTH = 600  # samples @ 8 kHz (dataloader_keras.py:8)
+
+
+class SegmentLoader:
+    def __init__(self,
+                 fns_event_list: Sequence[str],
+                 bsz: int = 120,
+                 n_anchor: int = 60,
+                 duration: float = 1.0,
+                 hop: float = 0.5,
+                 fs: int = 8000,
+                 shuffle: bool = False,
+                 seg_mode: str = "all",
+                 random_offset_anchor: bool = False,
+                 offset_margin_hop_rate: float = 0.4,
+                 bg_fps: Sequence[str] = (),
+                 ir_fps: Sequence[str] = (),
+                 reduce_items_p: int = 0,
+                 reduce_batch_first_half: bool = False,
+                 drop_the_last_non_full_batch: bool = True,
+                 seed: int = 0):
+        from nafp_tpu.data.catalog import build_seg_list  # circular-safe
+
+        self.bsz, self.n_anchor = int(bsz), int(n_anchor)
+        if self.bsz != self.n_anchor:
+            self.n_pos_per_anchor = round((bsz - n_anchor) / n_anchor)
+            self.n_pos_bsz = bsz - n_anchor
+        else:
+            self.n_pos_per_anchor = 0
+            self.n_pos_bsz = 0
+        self.duration, self.hop, self.fs = float(duration), float(hop), int(fs)
+        self.seg_len = int(fs * duration)
+        self.shuffle = bool(shuffle)
+        self.random_offset_anchor = bool(random_offset_anchor)
+        self.offset_margin_frame = int(hop * offset_margin_hop_rate * fs)
+        self.reduce_batch_first_half = reduce_batch_first_half
+        self.seed = seed
+        self.epoch = 0
+
+        self.fns_event_seg_list = build_seg_list(list(fns_event_list),
+                                                 seg_mode, fs, duration, hop)
+        assert reduce_items_p <= 100
+        self.reduce_items_p = reduce_items_p
+
+        if drop_the_last_non_full_batch:  # training
+            self.n_samples = (len(self.fns_event_seg_list) // self.n_anchor
+                              ) * self.n_anchor
+        else:
+            self.n_samples = len(self.fns_event_seg_list)
+        if self.n_samples == 0:
+            raise ValueError("empty dataset (no segments found)")
+
+        self.bg_mix = bool(bg_fps) and self.n_pos_bsz > 0
+        self.ir_mix = bool(ir_fps) and self.n_pos_bsz > 0
+        self.bg_seg_list = build_seg_list(list(bg_fps), "all", fs, duration) \
+            if self.bg_mix else []
+        self.ir_seg_list = build_seg_list(list(ir_fps), "first", fs, duration) \
+            if self.ir_mix else []
+
+        self._reshuffle()
+
+    # ------------------------------------------------------------------
+    def _rng(self, idx: int) -> np.random.Generator:
+        return np.random.default_rng((self.seed, self.epoch, idx))
+
+    def _reshuffle(self):
+        rng = np.random.default_rng((self.seed, self.epoch, 0xEA0C))
+        self.index_event = (rng.permutation(self.n_samples) if self.shuffle
+                            else np.arange(self.n_samples))
+        if self.bg_mix:
+            n = len(self.bg_seg_list)
+            self.index_bg = rng.permutation(n) if self.shuffle else np.arange(n)
+        if self.ir_mix:
+            n = len(self.ir_seg_list)
+            self.index_ir = rng.permutation(n) if self.shuffle else np.arange(n)
+
+    def set_epoch(self, epoch: int):
+        """Re-shuffle for a new epoch (reference on_epoch_end, :196-220)."""
+        self.epoch = int(epoch)
+        self._reshuffle()
+
+    def __len__(self) -> int:
+        n = math.ceil(self.n_samples / self.n_anchor)
+        if self.reduce_items_p:
+            return int(n * self.reduce_items_p / 100)
+        return n
+
+    # ------------------------------------------------------------------
+    def __getitem__(self, idx: int) -> Dict[str, np.ndarray]:
+        """Returns a dict of static-shaped float32 arrays:
+
+        'anchors'  (n_anchor, T)  zero-padded past n_valid
+        'replicas' (n_pos,   T)   clean replica waveforms (offset only)
+        'bg'       (n_pos,   T)   raw background segments (if bg aug)
+        'ir'       (n_pos, 600)   raw impulse responses (if ir aug)
+        'n_valid'  ()             number of real anchors in this batch
+        """
+        if idx >= len(self):
+            raise IndexError(idx)
+        rng = self._rng(idx)
+        sel = self.index_event[idx * self.n_anchor:(idx + 1) * self.n_anchor]
+        n_valid = len(sel)
+
+        anchors = np.zeros((self.n_anchor, self.seg_len), np.float32)
+        replicas = np.zeros((self.n_pos_bsz, self.seg_len), np.float32)
+        for i, ev in enumerate(sel):
+            fname, seg_idx, off_min, off_max = self.fns_event_seg_list[ev]
+            a_lo = max(off_min, -self.offset_margin_frame)
+            a_hi = min(off_max, self.offset_margin_frame)
+            if self.random_offset_anchor and a_hi > a_lo:
+                a_off = int(rng.integers(a_lo, a_hi))
+            else:
+                a_off = 0
+            base = int(seg_idx * self.hop * self.fs)
+            anchors[i] = load_wav_segment(fname, base + a_off, self.seg_len,
+                                          self.fs)
+            if self.n_pos_per_anchor > 0:
+                p_lo = max(a_off - self.offset_margin_frame, off_min)
+                p_hi = min(a_off + self.offset_margin_frame, off_max)
+                for j in range(self.n_pos_per_anchor):
+                    p_off = int(rng.integers(p_lo, p_hi)) if p_hi > p_lo else 0
+                    replicas[i * self.n_pos_per_anchor + j] = load_wav_segment(
+                        fname, base + p_off, self.seg_len, self.fs)
+
+        out = {"anchors": anchors, "replicas": replicas,
+               "n_valid": np.int32(n_valid)}
+
+        if self.bg_mix:
+            out["bg"] = self._load_sources(
+                idx, rng, self.bg_seg_list, self.index_bg, self.seg_len,
+                random_offset=True)
+        if self.ir_mix:
+            out["ir"] = self._load_sources(
+                idx, rng, self.ir_seg_list, self.index_ir, MAX_IR_LENGTH,
+                random_offset=False)
+        return out
+
+    def _load_sources(self, idx, rng, seg_list, index, out_len,
+                      random_offset) -> np.ndarray:
+        n = len(seg_list)
+        sel = np.arange(idx * self.n_pos_bsz, (idx + 1) * self.n_pos_bsz) % n
+        out = np.zeros((self.n_pos_bsz, out_len), np.float32)
+        for i, si in enumerate(index[sel]):
+            fname, seg_idx, _, off_max = seg_list[si]
+            start = int(seg_idx * self.duration * self.fs)
+            if random_offset:
+                off = min(int(rng.integers(0, self.seg_len // 2)), int(off_max))
+                start += off
+            out[i] = load_wav_segment(fname, start, out_len, self.fs)[:out_len]
+        return out
+
+
+def prefetch(loader: SegmentLoader, n_prefetch: int = 2):
+    """Background-thread prefetch iterator (counterpart of the reference's
+    OrderedEnqueuer usage, trainer.py:183-194). WAV decode is IO-bound and
+    releases the GIL, so a thread suffices on this 1-core host."""
+    q: "queue.Queue" = queue.Queue(maxsize=n_prefetch)
+    stop = object()
+
+    def worker():
+        try:
+            for i in range(len(loader)):
+                q.put(loader[i])
+        finally:
+            q.put(stop)
+
+    t = threading.Thread(target=worker, daemon=True)
+    t.start()
+    while True:
+        item = q.get()
+        if item is stop:
+            break
+        yield item
