@@ -96,8 +96,8 @@ def augment_replicas(xp: jax.Array,
     Matches the order of ``genUnbalSequence.__getitem__``
     (dataloader_keras.py:231-301); anchors are never augmented.
     """
-    if use_bg:
+    if use_bg and bg is not None:
         xp = bg_mix_batch(xp, bg, key, snr_range)
-    if use_ir:
+    if use_ir and ir is not None:
         xp = ir_aug_batch(xp, ir)
     return xp

@@ -1,0 +1,308 @@
+"""Training workload: pjit/shard_map train loop over a data mesh.
+
+Counterpart of the reference ``model/trainer.py:19-230``, restructured the
+JAX way: one pure ``train_step`` (augment -> melspec -> specaug -> encoder
+fwd/bwd -> optax update) jitted once over a ``('data',)`` mesh via
+shard_map, with donated state buffers and a PRNG key threaded per step.
+The NT-Xent all-gather and the gradient psum are the only collectives.
+
+Key differences from the reference, all TPU-motivated:
+  - time-domain augmentation happens inside the step (see ops/tdaug.py) —
+    the host only ships raw waveforms;
+  - the cross-replica loss is the only loss; on a 1-device mesh it equals
+    the single-GPU formulation exactly (tested);
+  - similarity-matrix images and loss scalars go through
+    ExperimentHelper (orbax + TB/JSONL) instead of tf.summary.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax import shard_map
+
+from nafp_tpu.data.catalog import Dataset
+from nafp_tpu.data.loader import prefetch
+from nafp_tpu.losses.ntxent import ntxent_loss
+from nafp_tpu.losses.triplet import online_triplet_loss
+from nafp_tpu.models.nnfp import get_fingerprinter
+from nafp_tpu.ops.melspec import get_melspec_fn
+from nafp_tpu.ops.specaug import get_specaug_fn
+from nafp_tpu.ops.tdaug import augment_replicas
+from nafp_tpu.optim.schedules import build_optimizer
+from nafp_tpu.parallel.mesh import mesh_from_cfg
+from nafp_tpu.search.minisearch import mini_search_eval
+from nafp_tpu.train.experiment import ExperimentHelper
+
+
+class TrainState(NamedTuple):
+    params: Any
+    opt_state: Any
+    step: jnp.ndarray
+
+
+def build_fp(cfg: Dict[str, Any]):
+    """melspec fn, specaug fn, FingerPrinter (reference build_fp,
+    trainer.py:19-30)."""
+    melspec_fn, mcfg = get_melspec_fn(cfg)
+    specaug_fn = get_specaug_fn(cfg)
+    model = get_fingerprinter(cfg)
+    return melspec_fn, specaug_fn, model, mcfg
+
+
+def init_params(cfg: Dict[str, Any], model, mcfg, seed: int = 42):
+    shape = (1, mcfg.n_mels, mcfg.n_frames, 1)
+    return jax.jit(model.init)(jax.random.PRNGKey(seed),
+                               jnp.zeros(shape, jnp.float32))
+
+
+# ---------------------------------------------------------------------------
+# Steps (pure; called inside shard_map so 'data' axis is available)
+# ---------------------------------------------------------------------------
+def _make_loss_fn(cfg, melspec_fn, specaug_fn, model, train: bool):
+    loss_mode = str(cfg["LOSS"]["LOSS_MODE"]).upper()
+    tau = float(cfg["LOSS"]["TAU"])
+    margin = float(cfg["LOSS"]["MARGIN"])
+    snr = tuple(cfg["TD_AUG"]["TR_SNR" if train else "VAL_SNR"])
+    use_bg = bool(cfg["TD_AUG"]["TR_BG_AUG" if train else "VAL_BG_AUG"])
+    use_ir = bool(cfg["TD_AUG"]["TR_IR_AUG" if train else "VAL_IR_AUG"])
+
+    def loss_fn(params, batch, key, axis_name: Optional[str]):
+        k_td, k_spec = jax.random.split(key)
+        xa = batch["anchors"]
+        xp = augment_replicas(batch["replicas"], batch.get("bg"),
+                              batch.get("ir"), k_td, snr,
+                              use_bg=use_bg and "bg" in batch,
+                              use_ir=use_ir and "ir" in batch)
+        x = jnp.concatenate([xa, xp], axis=0)
+        feat = melspec_fn(x)
+        if train:
+            feat = specaug_fn(feat, k_spec)
+        emb = model.apply(params, feat, train=False)
+        n_anchors = xa.shape[0]
+        if loss_mode == "NTXENT":
+            loss, sim = ntxent_loss(emb[:n_anchors], emb[n_anchors:],
+                                    tau=tau, axis_name=axis_name)
+        elif loss_mode == "ONLINE-TRIPLET":
+            n_ppa = (emb.shape[0] - n_anchors) // n_anchors
+            loss, sim, _ = online_triplet_loss(
+                emb[:n_anchors], emb[n_anchors:], n_anchor=n_anchors,
+                n_pos_per_anchor=n_ppa, margin=margin,
+                mode="semi-hard" if train else "all")
+            if axis_name is not None:
+                loss = jax.lax.pmean(loss, axis_name)
+        else:
+            raise NotImplementedError(loss_mode)
+        return loss, sim
+
+    return loss_fn
+
+
+def make_train_step(cfg, melspec_fn, specaug_fn, model, optimizer,
+                    mesh: Mesh):
+    """Build the jitted sharded train step.
+
+    Batch arrays are sharded over 'data'; state is replicated. Inside the
+    shard each device computes its local grads of the global loss (the
+    all-gather backward returns cross-device contributions) and grads are
+    psum'd, so updates are identical on every device.
+    """
+    loss_fn = _make_loss_fn(cfg, melspec_fn, specaug_fn, model, train=True)
+    axis = "data" if mesh.size > 1 else None
+
+    def step(state: TrainState, batch, key):
+        key = jax.random.fold_in(key[0] if key.ndim > 1 else key, 0)
+        if axis is not None:
+            # decorrelate augmentation across devices
+            key = jax.random.fold_in(key, jax.lax.axis_index(axis))
+        (loss, sim), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params, batch, key, axis)
+        if axis is not None:
+            grads = jax.lax.psum(grads, axis)
+            sim = sim[:0]  # avoid gathering the full sim matrix per device
+        updates, opt_state = optimizer.update(grads, state.opt_state,
+                                              state.params)
+        params = optax.apply_updates(state.params, updates)
+        return TrainState(params, opt_state, state.step + 1), loss, sim
+
+    if mesh.size == 1:
+        return jax.jit(step, donate_argnums=(0,))
+
+    sharded = shard_map(
+        step, mesh=mesh,
+        in_specs=(P(), {"anchors": P("data"), "replicas": P("data"),
+                        "bg": P("data"), "ir": P("data")}, P()),
+        out_specs=(P(), P(), P("data")))
+    return jax.jit(sharded, donate_argnums=(0,))
+
+
+def make_val_step(cfg, melspec_fn, specaug_fn, model, mesh: Mesh):
+    loss_fn = _make_loss_fn(cfg, melspec_fn, specaug_fn, model, train=False)
+    axis = "data" if mesh.size > 1 else None
+
+    def step(params, batch, key):
+        loss, sim = loss_fn(params, batch, key, axis)
+        return loss, sim
+
+    if mesh.size == 1:
+        return jax.jit(step)
+    sharded = shard_map(
+        step, mesh=mesh,
+        in_specs=(P(), {"anchors": P("data"), "replicas": P("data"),
+                        "bg": P("data"), "ir": P("data")}, P()),
+        out_specs=(P(), P("data")))
+    return jax.jit(sharded)
+
+
+def make_test_step(melspec_fn, model):
+    """Taps for mini-search validation (reference trainer.py:67-77)."""
+    def step(params, x):
+        feat = melspec_fn(x)
+        return model.apply(params, feat, method=model.taps)
+    return jax.jit(step)
+
+
+# ---------------------------------------------------------------------------
+def mini_search_validation(ds, params, test_step, aug_fn=None,
+                           scopes=(1, 3, 5, 9, 11, 19),
+                           max_n_samples: int = 3000,
+                           display: bool = True):
+    """Build a mini DB/query from validation batches and run retrieval at
+    three taps f / L2(f) / g(f) (reference trainer.py:80-108).
+
+    ``aug_fn(replicas, bg, ir, key) -> replicas`` applies the validation
+    TD-augmentation so queries are degraded replicas like the reference's
+    (whose val loader mixes bg/IR in its workers).
+    """
+    keys = ("f", "L2(f)", "g(f)")
+    n_iter = max(1, min(len(ds), max_n_samples // ds.bsz))
+    db = {k: [] for k in keys}
+    query = {k: [] for k in keys}
+    for i in range(n_iter):
+        b = ds[i]
+        xp = jnp.asarray(b["replicas"])
+        if aug_fn is not None:
+            xp = aug_fn(xp, jnp.asarray(b["bg"]) if "bg" in b else None,
+                        jnp.asarray(b["ir"]) if "ir" in b else None,
+                        jax.random.PRNGKey(i))
+        x = jnp.concatenate([jnp.asarray(b["anchors"]), xp], axis=0)
+        f, f_l2, gf = test_step(params, x)
+        emb = dict(zip(keys, (f, f_l2, gf)))
+        n_anchor = b["anchors"].shape[0]
+        for k in keys:
+            db[k].append(np.asarray(emb[k][:n_anchor]))
+            query[k].append(np.asarray(emb[k][n_anchor:]))
+    accs_by_scope = {}
+    for k in keys:
+        d = np.concatenate(db[k])
+        q = np.concatenate(query[k])[:, None, :]  # (nQ, 1, dim)
+        if display:
+            print(f"== mini-search-validation [{k}] ==")
+        accs_by_scope[k], _ = mini_search_eval(
+            jnp.asarray(q), jnp.asarray(d), scopes=list(scopes),
+            mode="argmin", display=display)
+    return accs_by_scope, list(scopes), list(keys)
+
+
+def _device_batch(batch, mesh: Mesh):
+    """Ship a host batch to the mesh with batch-dim sharding."""
+    sh = NamedSharding(mesh, P("data"))
+    out = {}
+    for k in ("anchors", "replicas", "bg", "ir"):
+        if k in batch:
+            out[k] = jax.device_put(jnp.asarray(batch[k]), sh)
+    # shard_map in_specs always expect bg/ir keys; supply empty stand-ins
+    if "bg" not in out:
+        out["bg"] = jax.device_put(
+            jnp.zeros_like(out["replicas"]), sh)
+    if "ir" not in out:
+        z = jnp.zeros((out["replicas"].shape[0], 600), jnp.float32)
+        out["ir"] = jax.device_put(z, sh)
+    return out
+
+
+def trainer(cfg: Dict[str, Any], checkpoint_name: str) -> None:
+    """The epoch loop (reference trainer.py:111-230)."""
+    dataset = Dataset(cfg)
+    melspec_fn, specaug_fn, model, mcfg = build_fp(cfg)
+    mesh = mesh_from_cfg(cfg)
+    print(f"[trainer] mesh: {mesh.shape} on {jax.devices()[0].platform}")
+
+    train_ds = dataset.get_train_ds(cfg["DATA_SEL"]["REDUCE_ITEMS_P"])
+    total_steps = int(cfg["TRAIN"]["MAX_EPOCH"]) * len(train_ds)
+    optimizer = build_optimizer(cfg, total_steps)
+
+    params = init_params(cfg, model, mcfg)
+    state = TrainState(params=params, opt_state=optimizer.init(params),
+                       step=jnp.zeros([], jnp.int32))
+
+    helper = ExperimentHelper(checkpoint_name, cfg)
+    restored = helper.restore_or_init(
+        {"params": state.params, "opt_state": state.opt_state,
+         "step": state.step})
+    state = TrainState(restored["params"], restored["opt_state"],
+                       restored["step"])
+    # Replicate state across the mesh.
+    rep = NamedSharding(mesh, P())
+    state = jax.device_put(state, rep)
+
+    train_step = make_train_step(cfg, melspec_fn, specaug_fn, model,
+                                 optimizer, mesh)
+    val_step = make_val_step(cfg, melspec_fn, specaug_fn, model, mesh)
+    test_step = make_test_step(melspec_fn, model)
+
+    base_key = jax.random.PRNGKey(int(cfg["TRAIN"].get("SEED", 0)))
+    ep_max = int(cfg["TRAIN"]["MAX_EPOCH"])
+    for ep in range(helper.epoch, ep_max + 1):
+        print(f"EPOCH: {ep}/{ep_max}")
+        train_ds.set_epoch(ep)
+        losses = []
+        sim = None
+        for i, batch in enumerate(prefetch(train_ds)):
+            key = jax.random.fold_in(base_key, int(state.step))
+            db = _device_batch(batch, mesh)
+            state, loss, sim = train_step(state, db, key)
+            losses.append(float(loss))
+            if i % 10 == 0:
+                print(f"  step {i}/{len(train_ds)} tr_loss "
+                      f"{np.mean(losses):.4f}", end="\r")
+        tr_loss = float(np.mean(losses)) if losses else float("nan")
+        helper.log_scalar("loss/train", tr_loss, ep)
+        if cfg["TRAIN"].get("SAVE_IMG") and sim is not None and len(sim):
+            helper.log_image("tr_sim_mtx", np.asarray(sim), ep)
+
+        # Validation (no specaug; TD-aug per VAL_* flags — reference :201-213)
+        val_ds = dataset.get_val_ds(max_song=250)
+        val_losses = []
+        for i, batch in enumerate(prefetch(val_ds)):
+            key = jax.random.fold_in(base_key, 1_000_000 + ep * 10_000 + i)
+            db = _device_batch(batch, mesh)
+            loss, sim = val_step(state.params, db, key)
+            val_losses.append(float(loss))
+        val_loss = float(np.mean(val_losses)) if val_losses else float("nan")
+        helper.log_scalar("loss/val", val_loss, ep)
+        if cfg["TRAIN"].get("SAVE_IMG") and sim is not None and len(sim):
+            helper.log_image("val_sim_mtx", np.asarray(sim), ep)
+        print(f"tr_loss:{tr_loss:.4f}, val_loss:{val_loss:.4f}")
+
+        helper.save(ep, {"params": state.params,
+                         "opt_state": state.opt_state, "step": state.step})
+
+        if cfg["TRAIN"].get("MINI_TEST_IN_TRAIN"):
+            val_aug = jax.jit(functools.partial(
+                augment_replicas,
+                snr_range=tuple(cfg["TD_AUG"]["VAL_SNR"]),
+                use_bg=bool(cfg["TD_AUG"]["VAL_BG_AUG"]),
+                use_ir=bool(cfg["TD_AUG"]["VAL_IR_AUG"])))
+            accs_by_scope, scopes, key_strs = mini_search_validation(
+                val_ds, state.params, test_step,
+                aug_fn=lambda xp, bg, ir, k: val_aug(xp, bg, ir, k)
+                if bg is not None or ir is not None else xp)
+            for k in key_strs:
+                helper.update_minitest_acc(accs_by_scope[k], scopes, k, ep)
+    helper.close()
