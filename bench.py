@@ -1,0 +1,65 @@
+#!/usr/bin/env python
+"""Headline benchmark: fingerprinting throughput (1-s segments/sec/chip).
+
+North-star target from BASELINE.md: >= 10,000 1-s segments/sec/chip for the
+full melspec + FingerPrinter inference path. Prints exactly one JSON line:
+    {"metric": ..., "value": N, "unit": ..., "vs_baseline": N/10000}
+
+Measures the pure device pipeline (waveform -> log-mel -> encoder -> 128-d
+fingerprint) with device-resident inputs, no host syncs inside the timed
+window — host IO is the loader's job and benchmarked separately.
+"""
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+
+BASELINE_SEGS_PER_SEC = 10_000.0  # BASELINE.md north-star
+BATCH = 512
+ITERS = 20
+
+
+def main() -> None:
+    from nafp_tpu.configuration import load_config
+    from nafp_tpu.models.nnfp import get_fingerprinter
+    from nafp_tpu.ops.melspec import get_melspec_fn
+    from nafp_tpu.train.trainer import init_params
+
+    cfg = load_config("default")
+    melspec_fn, mcfg = get_melspec_fn(cfg)
+    model = get_fingerprinter(cfg)  # full 19M-param encoder, bf16 compute
+    params = init_params(cfg, model, mcfg)
+
+    @jax.jit
+    def fingerprint(p, x):
+        return model.apply(p, melspec_fn(x), train=False)
+
+    key = jax.random.PRNGKey(0)
+    x = jax.random.normal(key, (BATCH, mcfg.n_samples), jnp.float32)
+    x = jax.device_put(x)
+
+    # Warmup / compile; full host sync (block_until_ready alone has proven
+    # unreliable through the remote-TPU tunnel on cold runs).
+    import numpy as np
+    np.asarray(fingerprint(params, x))
+    np.asarray(fingerprint(params, x))
+
+    t0 = time.perf_counter()
+    out = None
+    for _ in range(ITERS):
+        out = fingerprint(params, x)
+    np.asarray(out)  # end-to-end sync (copies 512x128 floats, negligible)
+    dt = time.perf_counter() - t0
+
+    segs_per_sec = BATCH * ITERS / dt
+    print(json.dumps({
+        "metric": "fingerprint_throughput",
+        "value": round(segs_per_sec, 1),
+        "unit": "segments/sec/chip",
+        "vs_baseline": round(segs_per_sec / BASELINE_SEGS_PER_SEC, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

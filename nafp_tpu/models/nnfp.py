@@ -187,7 +187,14 @@ def l2_normalize(x: jax.Array, axis: int = -1, eps: float = 1e-12) -> jax.Array:
 
 
 def get_fingerprinter(cfg: Dict[str, Any]) -> FingerPrinter:
-    """Build from a framework config dict (reference ``nnfp.py:234-258``)."""
+    """Build from a framework config dict (reference ``nnfp.py:234-258``).
+
+    Optional ``MODEL.FRONT_HIDDEN_CH`` overrides the conv channel plan
+    (defaults to the paper's [128,...,1024]) — useful for small ablations
+    and fast CI models.
+    """
     dtype = jnp.bfloat16 if cfg["MODEL"].get("MIXED_PRECISION", True) else jnp.float32
+    ch = tuple(cfg["MODEL"].get("FRONT_HIDDEN_CH", DEFAULT_CHANNELS))
     return FingerPrinter(emb_sz=int(cfg["MODEL"]["EMB_SZ"]),
+                         front_hidden_ch=ch,
                          norm=cfg["MODEL"]["BN"], dtype=dtype)

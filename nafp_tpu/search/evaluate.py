@@ -1,0 +1,167 @@
+"""Segment/sequence-level search evaluation.
+
+Counterpart of reference ``eval/eval_faiss.py:93-275``, restructured for
+batch execution: the reference loops one query sequence at a time through
+FAISS + numpy; here every (test_id, seq_len) pair in a block is evaluated
+with device-side candidate scoring.
+
+Protocol (kept bit-faithful):
+  - index contains dummy_db then db, so ground truth for query i is
+    ``i + len(dummy_db)`` (eval_faiss.py:121-148);
+  - per segment top-k (k_probe=20), candidate starts = hit id − segment
+    offset (:211-216), negatives dropped, duplicates deduped (:219);
+  - sequence score = mean of diag(q · cand_window) over the raw vectors
+    (:222-229) — the 'fake_recon' merged array, built here as a separate
+    concat instead of mutating dummy_db.mm in place (the reference's ⚠);
+  - metrics: top1-exact, top1-near(±1), top3, top10 per seq_len (:236-243);
+  - outputs ``raw_score.npy`` (n_test, 4*len(seq_lens)) and
+    ``test_ids.npy`` (:271-274).
+
+The data-dependent 'unique candidates' step becomes static-shaped: sort the
+sl*k candidate list, mask duplicates/-1s to -inf before the final top-k.
+"""
+from __future__ import annotations
+
+import functools
+import glob
+import os
+import time
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from nafp_tpu.data.audio_io import load_memmap
+from nafp_tpu.search.index import get_index
+from nafp_tpu.search.table import print_results_table
+
+
+@functools.partial(jax.jit, static_argnames=("sl",))
+def _score_candidates(q_seq: jax.Array, cands: jax.Array,
+                      recon: jax.Array, sl: int):
+    """Sequence scores for candidate start ids.
+
+    q_seq: (B, sl, d); cands: (B, C) candidate start ids (-1 = invalid);
+    recon: (N, d) raw vectors. Returns (B, C) scores with duplicates and
+    invalid entries at -inf.
+    """
+    n = recon.shape[0]
+    # dedup: sort ids, mark repeats
+    cands_sorted = jnp.sort(cands, axis=1)
+    dup = jnp.concatenate(
+        [jnp.zeros_like(cands_sorted[:, :1], bool),
+         cands_sorted[:, 1:] == cands_sorted[:, :-1]], axis=1)
+    invalid = (cands_sorted < 0) | (cands_sorted + sl > n) | dup
+
+    safe = jnp.clip(cands_sorted, 0, n - sl)
+    win_idx = safe[:, :, None] + jnp.arange(sl)[None, None, :]  # (B, C, sl)
+    windows = recon[win_idx]                                    # (B,C,sl,d)
+    scores = jnp.einsum("bod,bcod->bc", q_seq, windows,
+                        preferred_element_type=jnp.float32) / sl
+    return jnp.where(invalid, -jnp.inf, scores), cands_sorted
+
+
+def _hits_for_block(index, recon_dev, query, ids_block, sl, k_probe):
+    """Returns (top1_exact, top1_near, top3, top10) boolean arrays for a
+    block of test ids at one sequence length."""
+    b = len(ids_block)
+    q_seq = np.stack([query[t:t + sl] for t in ids_block])      # (B, sl, d)
+    _, hit_ids = index.search(q_seq.reshape(-1, query.shape[1]), k_probe)
+    hit_ids = hit_ids.reshape(b, sl, k_probe)
+    # offset compensation (eval_faiss.py:215-216); ignore id<0 (:219)
+    starts = hit_ids - np.arange(sl)[None, :, None]
+    starts = np.where(hit_ids < 0, -1, starts)
+    cands = starts.reshape(b, sl * k_probe)
+
+    scores, cands_sorted = _score_candidates(
+        jnp.asarray(q_seq), jnp.asarray(cands), recon_dev, sl)
+    k10 = min(10, scores.shape[1])
+    top_scores, pos = jax.lax.top_k(scores, k10)
+    pred = np.asarray(jnp.take_along_axis(cands_sorted, pos, axis=1))
+    valid = np.isfinite(np.asarray(top_scores))
+    pred = np.where(valid, pred, -999999)
+    return pred  # (B, 10) ranked candidate start ids
+
+
+def eval_fingerprints(emb_dir: str,
+                      emb_dummy_dir: Optional[str] = None,
+                      index_type: str = "ivfpq",
+                      test_ids: str = "icassp",
+                      test_seq_len: str = "1 3 5 9 11 19",
+                      k_probe: int = 20,
+                      max_train: int = int(1e7),
+                      display_interval: int = 10,
+                      seed: int = 42) -> np.ndarray:
+    """Run the full search experiment; returns hit-rate matrix
+    (4, n_seq_len) in percent and writes raw_score.npy / test_ids.npy."""
+    seq_lens = np.asarray(list(map(int, str(test_seq_len).split())))
+
+    query, query_shape = load_memmap(emb_dir, "query")
+    db, db_shape = load_memmap(emb_dir, "db")
+    dummy_dir = emb_dummy_dir or emb_dir
+    dummy_db, dummy_shape = load_memmap(dummy_dir, "dummy_db")
+
+    n_dummy = int(dummy_shape[0])
+    full_db = np.concatenate([np.asarray(dummy_db), np.asarray(db)])
+    del dummy_db
+
+    t0 = time.time()
+    index = get_index(index_type, full_db, max_train=max_train)
+    if hasattr(index, "add") and index.ntotal == 0:
+        index.add(full_db)
+    print(f"index[{index_type}] over {len(full_db):,} items "
+          f"({time.time() - t0:.2f}s)")
+    recon_dev = jnp.asarray(full_db)  # raw vectors for sequence rescoring
+
+    # test ids (eval_faiss.py:177-186)
+    query = np.asarray(query, np.float32)
+    if isinstance(test_ids, str) and test_ids.lower() == "all":
+        ids = np.arange(0, len(query) - int(seq_lens.max()), 1)
+    elif isinstance(test_ids, str) and test_ids.lower() == "icassp":
+        hits = glob.glob(os.path.join(os.path.dirname(__file__),
+                                      "../assets/test_ids_icassp2021.npy"))
+        hits += glob.glob("./**/test_ids_icassp2021.npy", recursive=True)
+        ids = np.load(hits[0])
+    elif isinstance(test_ids, str) and test_ids.isnumeric():
+        rng = np.random.default_rng(seed)
+        ids = rng.permutation(len(query) - int(seq_lens.max()))[:int(test_ids)]
+    else:
+        ids = np.load(test_ids)
+    ids = np.asarray(ids, np.int64)
+    n_test = len(ids)
+    gt = ids + n_dummy
+    print(f"test_id: {test_ids},  n_test: {n_test}")
+
+    top1_exact = np.zeros((n_test, len(seq_lens)), int)
+    top1_near = np.zeros((n_test, len(seq_lens)), int)
+    top3_exact = np.zeros((n_test, len(seq_lens)), int)
+    top10_exact = np.zeros((n_test, len(seq_lens)), int)
+
+    t_start = time.time()
+    n_searches = 0
+    block = 128
+    for si, sl in enumerate(seq_lens):
+        for s in range(0, n_test, block):
+            ids_block = ids[s:s + block]
+            pred = _hits_for_block(index, recon_dev, query, ids_block,
+                                   int(sl), k_probe)
+            g = gt[s:s + block, None]
+            top1_exact[s:s + block, si] = (pred[:, :1] == g).any(1)
+            top1_near[s:s + block, si] = (np.abs(pred[:, :1] - g) <= 1).any(1)
+            top3_exact[s:s + block, si] = (pred[:, :3] == g).any(1)
+            top10_exact[s:s + block, si] = (pred[:, :10] == g).any(1)
+            n_searches += len(ids_block)
+
+    elapsed = time.time() - t_start
+    ms_per_query = 1000.0 * elapsed / max(1, n_test * len(seq_lens))
+    rates = np.stack([100.0 * top1_exact.mean(0), 100.0 * top1_near.mean(0),
+                      100.0 * top3_exact.mean(0), 100.0 * top10_exact.mean(0)])
+    print_results_table(seq_lens, rates, ms_per_query)
+
+    np.save(os.path.join(emb_dir, "raw_score.npy"),
+            np.concatenate([top1_exact, top1_near, top3_exact, top10_exact],
+                           axis=1))
+    np.save(os.path.join(emb_dir, "test_ids.npy"), ids)
+    print(f"Saved test_ids and raw score to {emb_dir}.")
+    return rates

@@ -1,0 +1,111 @@
+"""End-to-end smoke: train -> generate -> evaluate on synthetic audio.
+
+Mirrors the reference's full workflow (run.py train/generate/evaluate) with
+a tiny encoder. Query WAVs are noisy copies of db WAVs, so a trained model
+must retrieve them; the exact (l2) index and the sequence re-ranker carry
+the protocol.
+"""
+import os
+import wave
+
+import numpy as np
+import pytest
+
+from nafp_tpu.configuration import load_config
+
+FS = 8000
+
+
+def _write_wav(path, x):
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    pcm = (np.clip(x, -1, 1) * 32767).astype(np.int16)
+    with wave.open(path, "w") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(FS)
+        w.writeframes(pcm.tobytes())
+
+
+@pytest.fixture(scope="module")
+def e2e_cfg(tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("e2e"))
+    rng = np.random.default_rng(0)
+
+    def song(seed, sec=6.0):
+        r = np.random.default_rng(seed)
+        t = np.arange(int(FS * sec)) / FS
+        x = np.zeros_like(t)
+        for _ in range(3):  # random harmonic mixture
+            f0 = r.uniform(100, 3500)
+            x += r.uniform(0.2, 0.5) * np.sin(2 * np.pi * f0 * t + r.uniform(0, 6))
+        return 0.8 * x / np.abs(x).max()
+
+    for i in range(6):
+        _write_wav(f"{root}/music/train-10k-30s/{i:02d}.wav", song(i))
+        _write_wav(f"{root}/music/val-query-db-500-30s/{i:02d}.wav",
+                   song(100 + i))
+    for i in range(4):
+        db = song(200 + i)
+        _write_wav(f"{root}/music/test-query-db-500-30s/db/{i:02d}.wav", db)
+        noisy = db + 0.05 * rng.standard_normal(len(db))
+        _write_wav(f"{root}/music/test-query-db-500-30s/query/{i:02d}.wav",
+                   noisy)
+    for i in range(3):
+        _write_wav(f"{root}/music/test-dummy-db-100k-full/{i:02d}.wav",
+                   song(300 + i))
+    _write_wav(f"{root}/aug/bg/tr/0.wav", song(400, 6.0) * 0.5)
+    _write_wav(f"{root}/aug/ir/tr/0.wav",
+               np.exp(-np.arange(800) / 100.0) *
+               np.random.default_rng(5).standard_normal(800) * 0.3)
+
+    cfg = load_config("default")
+    cfg["DIR"].update(SOURCE_ROOT_DIR=f"{root}/music/",
+                      BG_ROOT_DIR=f"{root}/aug/bg/",
+                      IR_ROOT_DIR=f"{root}/aug/ir/",
+                      OUTPUT_ROOT_DIR=f"{root}/logs/emb/",
+                      LOG_ROOT_DIR=f"{root}/logs/")
+    cfg["MODEL"].update(EMB_SZ=32, FRONT_HIDDEN_CH=[16, 16, 32, 32, 32, 32,
+                                                    64, 64],
+                        MIXED_PRECISION=False)
+    cfg["BSZ"].update(TR_BATCH_SZ=16, TR_N_ANCHOR=8, VAL_BATCH_SZ=16,
+                      VAL_N_ANCHOR=8, TS_BATCH_SZ=16)
+    cfg["TRAIN"].update(MAX_EPOCH=3, TENSORBOARD=False, SAVE_IMG=False,
+                        MINI_TEST_IN_TRAIN=False, LR=2e-3)
+    return cfg
+
+
+def test_full_pipeline(e2e_cfg):
+    from nafp_tpu.train.trainer import trainer
+    from nafp_tpu.generate import generate_fingerprint
+    from nafp_tpu.search.evaluate import eval_fingerprints
+
+    trainer(e2e_cfg, "e2e")
+
+    out_dir = generate_fingerprint(e2e_cfg, "e2e", assume_yes=True)
+    for key in ("dummy_db", "db", "query"):
+        assert os.path.exists(os.path.join(out_dir, f"{key}.mm"))
+        assert os.path.exists(os.path.join(out_dir, f"{key}_shape.npy"))
+    q_shape = np.load(os.path.join(out_dir, "query_shape.npy"))
+    db_shape = np.load(os.path.join(out_dir, "db_shape.npy"))
+    assert tuple(q_shape) == tuple(db_shape)  # same 4 songs
+    assert q_shape[1] == 32
+
+    rates = eval_fingerprints(out_dir, index_type="l2", test_ids="all",
+                              test_seq_len="1 3 5")
+    assert rates.shape == (4, 3)
+    # Trained on matching distribution: top-10 at seq-len 5 must be strong.
+    assert rates[3, -1] >= 60.0, f"top10@5seg too low: {rates}"
+    # longer sequences never hurt top1-near dramatically
+    assert rates[1, -1] >= rates[1, 0] - 30.0
+    # artifacts
+    assert os.path.exists(os.path.join(out_dir, "raw_score.npy"))
+    assert os.path.exists(os.path.join(out_dir, "test_ids.npy"))
+
+
+def test_generate_custom_source(e2e_cfg):
+    from nafp_tpu.generate import generate_fingerprint
+    src = e2e_cfg["DIR"]["SOURCE_ROOT_DIR"] + "test-query-db-500-30s/db/"
+    out_dir = generate_fingerprint(e2e_cfg, "e2e", source_root_dir=src,
+                                   output_root_dir=e2e_cfg["DIR"]
+                                   ["OUTPUT_ROOT_DIR"] + "custom/")
+    assert os.path.exists(os.path.join(out_dir, "custom_source.mm"))

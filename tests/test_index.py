@@ -1,0 +1,79 @@
+"""Index tests: exact flat search, k-means, IVF-PQ recall."""
+import numpy as np
+import pytest
+
+from nafp_tpu.search.index import FlatIndex, IVFPQIndex, get_index, kmeans
+
+
+def _unit(rng, n, d=128):
+    x = rng.standard_normal((n, d)).astype(np.float32)
+    return x / np.linalg.norm(x, axis=1, keepdims=True)
+
+
+def test_flat_index_exact_topk(rng):
+    db = _unit(rng, 5000)
+    q = db[[7, 99, 1234]] + 0.01 * rng.standard_normal((3, 128)).astype(np.float32)
+    idx = FlatIndex(db, metric="l2")
+    d, ids = idx.search(q, k=5)
+    assert ids.shape == (3, 5)
+    np.testing.assert_array_equal(ids[:, 0], [7, 99, 1234])
+    # distances ascending for l2
+    assert (np.diff(d, axis=1) >= -1e-5).all()
+    # ip metric agrees on ranking for unit vectors
+    idx_ip = FlatIndex(db, metric="ip")
+    _, ids_ip = idx_ip.search(q, k=5)
+    np.testing.assert_array_equal(ids[:, 0], ids_ip[:, 0])
+
+
+def test_flat_index_blocked_equals_single(rng):
+    db = _unit(rng, 2000)
+    q = _unit(rng, 700)
+    idx = FlatIndex(db)
+    _, a = idx.search(q, k=3, block=256)
+    _, b = idx.search(q, k=3, block=4096)
+    np.testing.assert_array_equal(a, b)
+
+
+def test_kmeans_separates_clusters(rng):
+    import jax.numpy as jnp
+    centers = _unit(rng, 8, 16) * 10
+    pts = np.concatenate([c + 0.1 * rng.standard_normal((50, 16))
+                          for c in centers]).astype(np.float32)
+    cents = np.asarray(kmeans(jnp.asarray(pts), 8, iters=15))
+    # every true center has a learned centroid nearby
+    dists = np.linalg.norm(centers[:, None] - cents[None], axis=2)
+    assert (dists.min(axis=1) < 0.5).all()
+
+
+@pytest.mark.slow
+def test_ivfpq_recall_vs_exact(rng):
+    db = _unit(rng, 20000)
+    queries = db[rng.integers(0, 20000, 64)] \
+        + 0.05 * rng.standard_normal((64, 128)).astype(np.float32)
+    exact = FlatIndex(db, metric="ip")
+    _, gt = exact.search(queries, k=1)
+
+    idx = IVFPQIndex(d=128, nlist=64, m=64, nbits=8, nprobe=16)
+    idx.train(db, kmeans_iters=5)
+    idx.add(db)
+    assert idx.ntotal == 20000
+    _, ids = idx.search(queries, k=10)
+    recall = np.mean([gt[i, 0] in ids[i] for i in range(len(queries))])
+    assert recall >= 0.9, f"IVFPQ top-10 recall {recall}"
+
+    # refine (ivfpq-rr) must not reduce recall
+    idx_rr = IVFPQIndex(d=128, nlist=64, m=64, nbits=8, nprobe=16,
+                        refine=True)
+    idx_rr.train(db, kmeans_iters=5)
+    idx_rr.add(db)
+    _, ids_rr = idx_rr.search(queries, k=10)
+    recall_rr = np.mean([gt[i, 0] in ids_rr[i] for i in range(len(queries))])
+    assert recall_rr >= recall - 0.02
+
+
+def test_get_index_factory(rng):
+    db = _unit(rng, 1000)
+    assert isinstance(get_index("l2", db), FlatIndex)
+    assert isinstance(get_index("ip", db), FlatIndex)
+    with pytest.raises(ValueError):
+        get_index("hnsw", db)
