@@ -94,6 +94,9 @@ class Dataset:
             a["TR_BG_AUG"], a["VAL_BG_AUG"], a["TS_BG_AUG"]
         self.tr_use_ir, self.val_use_ir, self.ts_use_ir = \
             a["TR_IR_AUG"], a["VAL_IR_AUG"], a["TS_IR_AUG"]
+        self.tr_use_speech = a.get("TR_SPEECH_AUG", False)
+        self.val_use_speech = a.get("VAL_SPEECH_AUG", False)
+        self.ts_use_speech = a.get("TS_SPEECH_AUG", False)
 
         # Augmentation source file lists (dataset.py:86-126). Validation
         # reuses the train ('tr/') splits, test uses 'ts/'.
@@ -107,6 +110,16 @@ class Dataset:
         self.ts_ir_fps = _glob_wavs(self.ir_root_dir, "ts/**/*.wav") \
             if self.ts_use_ir else []
         self.val_ir_fps = self.tr_ir_fps if self.val_use_ir else []
+        # Speech splits: train/ test/ dev/ (reference dataset.py:115-125).
+        self.tr_speech_fps = _glob_wavs(self.speech_root_dir,
+                                        "train/**/*.wav") \
+            if self.tr_use_speech else []
+        self.ts_speech_fps = _glob_wavs(self.speech_root_dir,
+                                        "test/**/*.wav") \
+            if self.ts_use_speech else []
+        self.val_speech_fps = _glob_wavs(self.speech_root_dir,
+                                         "dev/**/*.wav") \
+            if self.val_use_speech else []
 
     # ------------------------------------------------------------------
     def get_train_ds(self, reduce_items_p: int = 0) -> SegmentLoader:
@@ -118,6 +131,7 @@ class Dataset:
             n_anchor=self.tr_n_anchor, duration=self.dur, hop=self.hop,
             fs=self.fs, shuffle=True, random_offset_anchor=True,
             bg_fps=self.tr_bg_fps, ir_fps=self.tr_ir_fps,
+            speech_fps=self.tr_speech_fps,
             reduce_items_p=reduce_items_p)
 
     def get_val_ds(self, max_song: int = 500) -> SegmentLoader:
@@ -127,7 +141,8 @@ class Dataset:
             fns_event_list=fps, bsz=self.val_batch_sz,
             n_anchor=self.val_n_anchor, duration=self.dur, hop=self.hop,
             fs=self.fs, shuffle=False, random_offset_anchor=False,
-            bg_fps=self.val_bg_fps, ir_fps=self.val_ir_fps)
+            bg_fps=self.val_bg_fps, ir_fps=self.val_ir_fps,
+            speech_fps=self.val_speech_fps)
 
     def get_test_dummy_db_ds(self) -> SegmentLoader:
         fps = _glob_wavs(self.source_root_dir,

@@ -54,8 +54,10 @@ class SegmentLoader:
                  offset_margin_hop_rate: float = 0.4,
                  bg_fps: Sequence[str] = (),
                  ir_fps: Sequence[str] = (),
+                 speech_fps: Sequence[str] = (),
                  reduce_items_p: int = 0,
                  reduce_batch_first_half: bool = False,
+                 experimental_mode: bool = False,
                  drop_the_last_non_full_batch: bool = True,
                  seed: int = 0):
         from nafp_tpu.data.catalog import build_seg_list  # circular-safe
@@ -73,6 +75,15 @@ class SegmentLoader:
         self.random_offset_anchor = bool(random_offset_anchor)
         self.offset_margin_frame = int(hop * offset_margin_hop_rate * fs)
         self.reduce_batch_first_half = reduce_batch_first_half
+        # experimental_mode: fixed, evenly spread replica offsets instead of
+        # random ones (reference dataloader_keras.py:179-183,348-358); used
+        # by the offline query-synthesis tool (extras/dataset2wav.py).
+        self.experimental_mode = experimental_mode
+        if experimental_mode and self.n_pos_per_anchor > 0:
+            self.experimental_offsets_sec = (
+                (np.arange(self.n_pos_per_anchor)
+                 - (self.n_pos_per_anchor - 1) / 2)
+                / self.n_pos_per_anchor) * hop
         self.seed = seed
         self.epoch = 0
 
@@ -91,10 +102,14 @@ class SegmentLoader:
 
         self.bg_mix = bool(bg_fps) and self.n_pos_bsz > 0
         self.ir_mix = bool(ir_fps) and self.n_pos_bsz > 0
+        self.speech_mix = bool(speech_fps) and self.n_pos_bsz > 0
         self.bg_seg_list = build_seg_list(list(bg_fps), "all", fs, duration) \
             if self.bg_mix else []
         self.ir_seg_list = build_seg_list(list(ir_fps), "first", fs, duration) \
             if self.ir_mix else []
+        self.speech_seg_list = build_seg_list(list(speech_fps), "all", fs,
+                                              duration) \
+            if self.speech_mix else []
 
         self._reshuffle()
 
@@ -112,6 +127,10 @@ class SegmentLoader:
         if self.ir_mix:
             n = len(self.ir_seg_list)
             self.index_ir = rng.permutation(n) if self.shuffle else np.arange(n)
+        if self.speech_mix:
+            n = len(self.speech_seg_list)
+            self.index_speech = (rng.permutation(n) if self.shuffle
+                                 else np.arange(n))
 
     def set_epoch(self, epoch: int):
         """Re-shuffle for a new epoch (reference on_epoch_end, :196-220)."""
@@ -146,7 +165,8 @@ class SegmentLoader:
             fname, seg_idx, off_min, off_max = self.fns_event_seg_list[ev]
             a_lo = max(off_min, -self.offset_margin_frame)
             a_hi = min(off_max, self.offset_margin_frame)
-            if self.random_offset_anchor and a_hi > a_lo:
+            if (self.random_offset_anchor and not self.experimental_mode
+                    and a_hi > a_lo):
                 a_off = int(rng.integers(a_lo, a_hi))
             else:
                 a_off = 0
@@ -157,7 +177,14 @@ class SegmentLoader:
                 p_lo = max(a_off - self.offset_margin_frame, off_min)
                 p_hi = min(a_off + self.offset_margin_frame, off_max)
                 for j in range(self.n_pos_per_anchor):
-                    p_off = int(rng.integers(p_lo, p_hi)) if p_hi > p_lo else 0
+                    if self.experimental_mode:
+                        sec = float(np.clip(self.experimental_offsets_sec[j],
+                                            p_lo / self.fs, p_hi / self.fs))
+                        p_off = int(sec * self.fs)
+                    elif p_hi > p_lo:
+                        p_off = int(rng.integers(p_lo, p_hi))
+                    else:
+                        p_off = 0
                     replicas[i * self.n_pos_per_anchor + j] = load_wav_segment(
                         fname, base + p_off, self.seg_len, self.fs)
 
@@ -172,6 +199,10 @@ class SegmentLoader:
             out["ir"] = self._load_sources(
                 idx, rng, self.ir_seg_list, self.index_ir, MAX_IR_LENGTH,
                 random_offset=False)
+        if self.speech_mix:
+            out["speech"] = self._load_sources(
+                idx, rng, self.speech_seg_list, self.index_speech,
+                self.seg_len, random_offset=True)
         return out
 
     def _load_sources(self, idx, rng, seg_list, index, out_len,

@@ -193,9 +193,19 @@ def melspectrogram(x: jax.Array, cfg: MelSpecConfig) -> jax.Array:
     return jnp.transpose(mel, (0, 2, 1))[..., None]     # (B, F, T, 1)
 
 
-def get_melspec_fn(cfg: Dict[str, Any]):
+def get_melspec_fn(cfg: Dict[str, Any], variant: str = "default"):
     """Build a jittable ``x -> logmel`` closure from a framework config dict
     (counterpart of reference ``get_melspec_layer``, ``melspectrogram.py:115``).
+
+    ``variant='lite'`` reproduces the mobile-export frontend's +0.1 scale
+    offset (reference ``melspectrogram_tflite.py:88`` vs the main path's
+    +0.06) — the only numerical difference between the two; there is no
+    separate "TFLite op" needed here since the whole frontend is already
+    plain XLA ops.
     """
     mcfg = MelSpecConfig.from_cfg(cfg)
+    if variant == "lite":
+        mcfg = mcfg._replace(scale_offset=0.1)
+    elif variant != "default":
+        raise ValueError(variant)
     return functools.partial(melspectrogram, cfg=mcfg), mcfg

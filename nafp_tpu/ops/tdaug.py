@@ -90,14 +90,25 @@ def augment_replicas(xp: jax.Array,
                      key: jax.Array,
                      snr_range: Tuple[float, float] = (0.0, 10.0),
                      use_bg: bool = True,
-                     use_ir: bool = True) -> jax.Array:
-    """Full replica-side time-domain chain: bg-mix then IR reverb.
+                     use_ir: bool = True,
+                     speech: jax.Array = None,
+                     use_speech: bool = False) -> jax.Array:
+    """Full replica-side time-domain chain: noise mix then IR reverb.
 
-    Matches the order of ``genUnbalSequence.__getitem__``
-    (dataloader_keras.py:231-301); anchors are never augmented.
+    Matches the order and combination logic of
+    ``genUnbalSequence.__getitem__`` (dataloader_keras.py:231-301): with
+    both bg and speech enabled the noises are *summed* and mixed once
+    (:248-253); with only one enabled it is mixed alone; anchors are never
+    augmented.
     """
-    if use_bg and bg is not None:
+    use_bg = use_bg and bg is not None
+    use_speech = use_speech and speech is not None
+    if use_bg and use_speech:
+        xp = bg_mix_batch(xp, bg + speech, key, snr_range)
+    elif use_bg:
         xp = bg_mix_batch(xp, bg, key, snr_range)
+    elif use_speech:
+        xp = bg_mix_batch(xp, speech, key, snr_range)
     if use_ir and ir is not None:
         xp = ir_aug_batch(xp, ir)
     return xp

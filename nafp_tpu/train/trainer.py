@@ -71,6 +71,8 @@ def _make_loss_fn(cfg, melspec_fn, specaug_fn, model, train: bool):
     snr = tuple(cfg["TD_AUG"]["TR_SNR" if train else "VAL_SNR"])
     use_bg = bool(cfg["TD_AUG"]["TR_BG_AUG" if train else "VAL_BG_AUG"])
     use_ir = bool(cfg["TD_AUG"]["TR_IR_AUG" if train else "VAL_IR_AUG"])
+    use_speech = bool(cfg["TD_AUG"].get(
+        "TR_SPEECH_AUG" if train else "VAL_SPEECH_AUG", False))
 
     def loss_fn(params, batch, key, axis_name: Optional[str]):
         k_td, k_spec = jax.random.split(key)
@@ -78,7 +80,9 @@ def _make_loss_fn(cfg, melspec_fn, specaug_fn, model, train: bool):
         xp = augment_replicas(batch["replicas"], batch.get("bg"),
                               batch.get("ir"), k_td, snr,
                               use_bg=use_bg and "bg" in batch,
-                              use_ir=use_ir and "ir" in batch)
+                              use_ir=use_ir and "ir" in batch,
+                              speech=batch.get("speech"),
+                              use_speech=use_speech and "speech" in batch)
         x = jnp.concatenate([xa, xp], axis=0)
         feat = melspec_fn(x)
         if train:
@@ -133,10 +137,11 @@ def make_train_step(cfg, melspec_fn, specaug_fn, model, optimizer,
     if mesh.size == 1:
         return jax.jit(step, donate_argnums=(0,))
 
+    batch_spec = {k: P("data") for k in
+                  ("anchors", "replicas", "bg", "ir", "speech")}
     sharded = shard_map(
         step, mesh=mesh,
-        in_specs=(P(), {"anchors": P("data"), "replicas": P("data"),
-                        "bg": P("data"), "ir": P("data")}, P()),
+        in_specs=(P(), batch_spec, P()),
         out_specs=(P(), P(), P("data")))
     return jax.jit(sharded, donate_argnums=(0,))
 
@@ -151,10 +156,11 @@ def make_val_step(cfg, melspec_fn, specaug_fn, model, mesh: Mesh):
 
     if mesh.size == 1:
         return jax.jit(step)
+    batch_spec = {k: P("data") for k in
+                  ("anchors", "replicas", "bg", "ir", "speech")}
     sharded = shard_map(
         step, mesh=mesh,
-        in_specs=(P(), {"anchors": P("data"), "replicas": P("data"),
-                        "bg": P("data"), "ir": P("data")}, P()),
+        in_specs=(P(), batch_spec, P()),
         out_specs=(P(), P("data")))
     return jax.jit(sharded)
 
@@ -213,13 +219,14 @@ def _device_batch(batch, mesh: Mesh):
     """Ship a host batch to the mesh with batch-dim sharding."""
     sh = NamedSharding(mesh, P("data"))
     out = {}
-    for k in ("anchors", "replicas", "bg", "ir"):
+    for k in ("anchors", "replicas", "bg", "ir", "speech"):
         if k in batch:
             out[k] = jax.device_put(jnp.asarray(batch[k]), sh)
-    # shard_map in_specs always expect bg/ir keys; supply empty stand-ins
+    # shard_map in_specs expect every key; supply zero stand-ins
     if "bg" not in out:
-        out["bg"] = jax.device_put(
-            jnp.zeros_like(out["replicas"]), sh)
+        out["bg"] = jax.device_put(jnp.zeros_like(out["replicas"]), sh)
+    if "speech" not in out:
+        out["speech"] = jax.device_put(jnp.zeros_like(out["replicas"]), sh)
     if "ir" not in out:
         z = jnp.zeros((out["replicas"].shape[0], 600), jnp.float32)
         out["ir"] = jax.device_put(z, sh)
