@@ -36,6 +36,7 @@ from typing import Dict, List, Optional, Sequence
 import numpy as np
 
 from nafp_tpu.data.audio_io import load_wav_segment
+from nafp_tpu.native import load_segments_native
 
 MAX_IR_LENGTH = 600  # samples @ 8 kHz (dataloader_keras.py:8)
 
@@ -59,7 +60,9 @@ class SegmentLoader:
                  reduce_batch_first_half: bool = False,
                  experimental_mode: bool = False,
                  drop_the_last_non_full_batch: bool = True,
-                 seed: int = 0):
+                 seed: int = 0,
+                 use_native_decoder: bool = True,
+                 decoder_threads: int = 4):
         from nafp_tpu.data.catalog import build_seg_list  # circular-safe
 
         self.bsz, self.n_anchor = int(bsz), int(n_anchor)
@@ -86,6 +89,8 @@ class SegmentLoader:
                 / self.n_pos_per_anchor) * hop
         self.seed = seed
         self.epoch = 0
+        self.use_native_decoder = use_native_decoder
+        self.decoder_threads = decoder_threads
 
         self.fns_event_seg_list = build_seg_list(list(fns_event_list),
                                                  seg_mode, fs, duration, hop)
@@ -159,9 +164,12 @@ class SegmentLoader:
         sel = self.index_event[idx * self.n_anchor:(idx + 1) * self.n_anchor]
         n_valid = len(sel)
 
-        anchors = np.zeros((self.n_anchor, self.seg_len), np.float32)
-        replicas = np.zeros((self.n_pos_bsz, self.seg_len), np.float32)
-        for i, ev in enumerate(sel):
+        # Plan all (path, start_frame) reads, then decode the whole batch in
+        # one native call (threaded C++; nafp_tpu/native/wavio.cc) or the
+        # pure-Python fallback.
+        a_paths, a_starts = [], []
+        p_paths, p_starts = [], []
+        for ev in sel:
             fname, seg_idx, off_min, off_max = self.fns_event_seg_list[ev]
             a_lo = max(off_min, -self.offset_margin_frame)
             a_hi = min(off_max, self.offset_margin_frame)
@@ -171,8 +179,8 @@ class SegmentLoader:
             else:
                 a_off = 0
             base = int(seg_idx * self.hop * self.fs)
-            anchors[i] = load_wav_segment(fname, base + a_off, self.seg_len,
-                                          self.fs)
+            a_paths.append(fname)
+            a_starts.append(base + a_off)
             if self.n_pos_per_anchor > 0:
                 p_lo = max(a_off - self.offset_margin_frame, off_min)
                 p_hi = min(a_off + self.offset_margin_frame, off_max)
@@ -185,8 +193,15 @@ class SegmentLoader:
                         p_off = int(rng.integers(p_lo, p_hi))
                     else:
                         p_off = 0
-                    replicas[i * self.n_pos_per_anchor + j] = load_wav_segment(
-                        fname, base + p_off, self.seg_len, self.fs)
+                    p_paths.append(fname)
+                    p_starts.append(base + p_off)
+
+        anchors = np.zeros((self.n_anchor, self.seg_len), np.float32)
+        anchors[:n_valid] = self._decode(a_paths, a_starts, self.seg_len)
+        replicas = np.zeros((self.n_pos_bsz, self.seg_len), np.float32)
+        if p_paths:
+            replicas[:len(p_paths)] = self._decode(p_paths, p_starts,
+                                                   self.seg_len)
 
         out = {"anchors": anchors, "replicas": replicas,
                "n_valid": np.int32(n_valid)}
@@ -205,19 +220,35 @@ class SegmentLoader:
                 self.seg_len, random_offset=True)
         return out
 
+    def _decode(self, paths, starts, out_len: int) -> np.ndarray:
+        """Batch segment decode: native C++ thread pool when available,
+        stdlib-wave fallback otherwise (identical output, tested)."""
+        if self.use_native_decoder:
+            out = load_segments_native(paths, starts, out_len,
+                                       self.decoder_threads)
+            if out is not None:
+                return out
+        out = np.zeros((len(paths), out_len), np.float32)
+        for i, (p, s) in enumerate(zip(paths, starts)):
+            out[i] = load_wav_segment(p, int(s), out_len, self.fs)
+        return out
+
     def _load_sources(self, idx, rng, seg_list, index, out_len,
                       random_offset) -> np.ndarray:
         n = len(seg_list)
         sel = np.arange(idx * self.n_pos_bsz, (idx + 1) * self.n_pos_bsz) % n
-        out = np.zeros((self.n_pos_bsz, out_len), np.float32)
-        for i, si in enumerate(index[sel]):
+        paths, starts = [], []
+        for si in index[sel]:
             fname, seg_idx, _, off_max = seg_list[si]
             start = int(seg_idx * self.duration * self.fs)
             if random_offset:
                 off = min(int(rng.integers(0, self.seg_len // 2)), int(off_max))
                 start += off
-            out[i] = load_wav_segment(fname, start, out_len, self.fs)[:out_len]
-        return out
+            paths.append(fname)
+            starts.append(start)
+        if not paths:
+            return np.zeros((0, out_len), np.float32)
+        return self._decode(paths, starts, out_len)
 
 
 def prefetch(loader: SegmentLoader, n_prefetch: int = 2):
