@@ -265,21 +265,39 @@ def trainer(cfg: Dict[str, Any], checkpoint_name: str) -> None:
 
     base_key = jax.random.PRNGKey(int(cfg["TRAIN"].get("SEED", 0)))
     ep_max = int(cfg["TRAIN"]["MAX_EPOCH"])
+    host_step = int(state.step)  # one sync at start, none per step
+    profile_dir = cfg["TRAIN"].get("PROFILE_DIR")
+    from nafp_tpu.utils.profiling import StepTimer, trace
     for ep in range(helper.epoch, ep_max + 1):
         print(f"EPOCH: {ep}/{ep_max}")
         train_ds.set_epoch(ep)
-        losses = []
+        losses = []  # device scalars; converted once at epoch end
         sim = None
+        timer = StepTimer()
+        prof_ctx = (trace(profile_dir)
+                    if profile_dir and ep == helper.epoch else None)
+        if prof_ctx:
+            prof_ctx.__enter__()
         for i, batch in enumerate(prefetch(train_ds)):
-            key = jax.random.fold_in(base_key, int(state.step))
+            key = jax.random.fold_in(base_key, host_step)
             db = _device_batch(batch, mesh)
             state, loss, sim = train_step(state, db, key)
-            losses.append(float(loss))
-            if i % 10 == 0:
+            host_step += 1
+            losses.append(loss)
+            timer.tick()
+            if i % 50 == 0:
                 print(f"  step {i}/{len(train_ds)} tr_loss "
-                      f"{np.mean(losses):.4f}", end="\r")
-        tr_loss = float(np.mean(losses)) if losses else float("nan")
+                      f"{float(loss):.4f} step {timer.step_ms:.0f} ms",
+                      end="\r")
+        if prof_ctx:
+            prof_ctx.__exit__(None, None, None)
+        tr_loss = (float(jnp.mean(jnp.stack(losses)))
+                   if losses else float("nan"))
         helper.log_scalar("loss/train", tr_loss, ep)
+        if timer.ema_dt:
+            helper.log_scalar("throughput/segments_per_sec",
+                              timer.items_per_sec(train_ds.bsz), ep)
+            helper.log_scalar("throughput/step_ms", timer.step_ms, ep)
         if cfg["TRAIN"].get("SAVE_IMG") and sim is not None and len(sim):
             helper.log_image("tr_sim_mtx", np.asarray(sim), ep)
 
