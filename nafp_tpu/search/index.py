@@ -170,6 +170,11 @@ class IVFPQIndex:
     def train(self, data: np.ndarray, max_train: int = int(1e7),
               kmeans_iters: int = 10, seed: int = 0) -> None:
         data = np.asarray(data, np.float32)
+        if len(data) < self.nlist * 4:
+            raise ValueError(
+                f"IVF-PQ needs >= {self.nlist * 4} training vectors for "
+                f"nlist={self.nlist} (got {len(data)}); use the exact 'l2'/"
+                "'ip' index for small databases")
         if len(data) > max_train:
             sel = np.random.default_rng(seed).permutation(len(data))[:max_train]
             data = data[sel]

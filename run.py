@@ -85,10 +85,13 @@ def generate(checkpoint_name, checkpoint_index, config, source, output,
                    "(default '1 3 5 9 11 19' = 1s..10s).")
 @click.option("--test_ids", "-t", default="icassp", type=click.STRING,
               help="One of {'all', 'icassp', 'path/file.npy', (int)}.")
+@click.option("--emb_dummy_dir", default=None, type=click.STRING,
+              help="Directory containing dummy_db.mm/_shape.npy to use "
+                   "instead of EMB_DIR (parity with eval_faiss.py).")
 @click.option("--nogpu", default=False, is_flag=True,
               help="Run the search on CPU devices (parity flag).")
 def evaluate(checkpoint_name, checkpoint_index, config, index_type,
-             test_seq_len, test_ids, nogpu):
+             test_seq_len, test_ids, emb_dummy_dir, nogpu):
     """Search and evaluation.
 
     ex) python run.py evaluate CHECKPOINT_NAME CHECKPOINT_INDEX -i ivfpq
@@ -101,7 +104,8 @@ def evaluate(checkpoint_name, checkpoint_index, config, index_type,
     cfg = load_config(config)
     emb_dir = (cfg["DIR"]["OUTPUT_ROOT_DIR"].rstrip("/") + "/" +
                checkpoint_name + "/" + str(checkpoint_index) + "/")
-    eval_fingerprints(emb_dir, index_type=index_type, test_ids=test_ids,
+    eval_fingerprints(emb_dir, emb_dummy_dir=emb_dummy_dir,
+                      index_type=index_type, test_ids=test_ids,
                       test_seq_len=test_seq_len)
 
 

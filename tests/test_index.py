@@ -76,4 +76,4 @@ def test_get_index_factory(rng):
     assert isinstance(get_index("l2", db), FlatIndex)
     assert isinstance(get_index("ip", db), FlatIndex)
     with pytest.raises(ValueError):
-        get_index("hnsw", db)
+        get_index("bogus", db)

@@ -146,3 +146,28 @@ def test_full_trainer_loop_and_resume(tiny_cfg, monkeypatch):
     import orbax.checkpoint as ocp
     mgr = ocp.CheckpointManager(os.path.abspath(ckpt_dir))
     assert mgr.latest_step() == 2
+
+
+def test_train_step_lamb_multidevice(tiny_cfg):
+    """The bsz-5120-style recipe: LAMB + cross-replica NT-Xent on a mesh."""
+    from nafp_tpu.data.catalog import Dataset
+    from nafp_tpu.optim.schedules import build_optimizer
+    from nafp_tpu.parallel.mesh import make_data_mesh
+    from nafp_tpu.train import trainer as T
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    cfg = dict(tiny_cfg)
+    cfg["BSZ"] = dict(cfg["BSZ"], TR_BATCH_SZ=16, TR_N_ANCHOR=8)
+    cfg["TRAIN"] = dict(cfg["TRAIN"], OPTIMIZER="LAMB")
+    melspec_fn, specaug_fn, model, mcfg = _small_model_fp(cfg)
+    ds = Dataset(cfg).get_train_ds()
+    opt = build_optimizer(cfg, 100)
+    params = T.init_params(cfg, model, mcfg)
+    state = T.TrainState(params, opt.init(params), jnp.zeros([], jnp.int32))
+    mesh = make_data_mesh(8)
+    state = jax.device_put(state, NamedSharding(mesh, P()))
+    step = T.make_train_step(cfg, melspec_fn, specaug_fn, model, opt, mesh)
+    db = T._device_batch(ds[0], mesh)
+    state, loss, _ = step(state, db, jax.random.PRNGKey(0))
+    state, loss2, _ = step(state, db, jax.random.PRNGKey(1))
+    assert np.isfinite(float(loss)) and np.isfinite(float(loss2))
