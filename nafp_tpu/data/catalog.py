@@ -87,6 +87,8 @@ class Dataset:
 
         m = cfg["MODEL"]
         self.dur, self.hop, self.fs = float(m["DUR"]), float(m["HOP"]), int(m["FS"])
+        self.song_cache_bytes = int(
+            float(cfg.get("DEVICE", {}).get("SONG_CACHE_GB", 0) or 0) * 2**30)
 
         a = cfg["TD_AUG"]
         self.tr_snr, self.val_snr, self.ts_snr = a["TR_SNR"], a["VAL_SNR"], a["TS_SNR"]
@@ -132,7 +134,8 @@ class Dataset:
             fs=self.fs, shuffle=True, random_offset_anchor=True,
             bg_fps=self.tr_bg_fps, ir_fps=self.tr_ir_fps,
             speech_fps=self.tr_speech_fps,
-            reduce_items_p=reduce_items_p)
+            reduce_items_p=reduce_items_p,
+            song_cache_bytes=self.song_cache_bytes)
 
     def get_val_ds(self, max_song: int = 500) -> SegmentLoader:
         fps = _glob_wavs(self.source_root_dir,
@@ -142,7 +145,8 @@ class Dataset:
             n_anchor=self.val_n_anchor, duration=self.dur, hop=self.hop,
             fs=self.fs, shuffle=False, random_offset_anchor=False,
             bg_fps=self.val_bg_fps, ir_fps=self.val_ir_fps,
-            speech_fps=self.val_speech_fps)
+            speech_fps=self.val_speech_fps,
+            song_cache_bytes=self.song_cache_bytes)
 
     def get_test_dummy_db_ds(self) -> SegmentLoader:
         fps = _glob_wavs(self.source_root_dir,

@@ -35,10 +35,50 @@ from typing import Dict, List, Optional, Sequence
 
 import numpy as np
 
-from nafp_tpu.data.audio_io import load_wav_segment
+from nafp_tpu.data.audio_io import load_wav_segment, wav_info
 from nafp_tpu.native import load_segments_native
 
 MAX_IR_LENGTH = 600  # samples @ 8 kHz (dataloader_keras.py:8)
+
+
+class SongCache:
+    """Bounded FIFO cache of fully-decoded waveforms.
+
+    The fingerprint workload reads every song ~59 times per epoch (one per
+    segment, plus replicas); decoding each file once and slicing from RAM
+    removes the host decode bottleneck entirely (decoded Dataset-mini is
+    ~10 GB against 125 GB host RAM). Single-consumer (the prefetch thread).
+    """
+
+    def __init__(self, capacity_bytes: int):
+        self.capacity = int(capacity_bytes)
+        self._store: "dict[str, np.ndarray]" = {}
+        self._bytes = 0
+
+    def get(self, path: str, fs: int) -> np.ndarray:
+        arr = self._store.get(path)
+        if arr is None:
+            n_frames, _ = wav_info(path)
+            out = load_segments_native([path], [0], n_frames)
+            arr = out[0] if out is not None \
+                else load_wav_segment(path, 0, n_frames, fs)
+            self._store[path] = arr
+            self._bytes += arr.nbytes
+            while self._bytes > self.capacity and len(self._store) > 1:
+                k, v = next(iter(self._store.items()))
+                if k == path:
+                    break
+                del self._store[k]
+                self._bytes -= v.nbytes
+        return arr
+
+    def slice(self, path: str, start: int, length: int, fs: int) -> np.ndarray:
+        arr = self.get(path, fs)
+        out = np.zeros(length, np.float32)
+        s = max(0, min(start, len(arr)))
+        e = min(s + length, len(arr))
+        out[:e - s] = arr[s:e]
+        return out
 
 
 class SegmentLoader:
@@ -62,7 +102,8 @@ class SegmentLoader:
                  drop_the_last_non_full_batch: bool = True,
                  seed: int = 0,
                  use_native_decoder: bool = True,
-                 decoder_threads: int = 4):
+                 decoder_threads: int = 4,
+                 song_cache_bytes: int = 0):
         from nafp_tpu.data.catalog import build_seg_list  # circular-safe
 
         self.bsz, self.n_anchor = int(bsz), int(n_anchor)
@@ -91,6 +132,7 @@ class SegmentLoader:
         self.epoch = 0
         self.use_native_decoder = use_native_decoder
         self.decoder_threads = decoder_threads
+        self.cache = SongCache(song_cache_bytes) if song_cache_bytes else None
 
         self.fns_event_seg_list = build_seg_list(list(fns_event_list),
                                                  seg_mode, fs, duration, hop)
@@ -221,8 +263,14 @@ class SegmentLoader:
         return out
 
     def _decode(self, paths, starts, out_len: int) -> np.ndarray:
-        """Batch segment decode: native C++ thread pool when available,
-        stdlib-wave fallback otherwise (identical output, tested)."""
+        """Batch segment decode: RAM song-cache slices when enabled, else
+        native C++ thread pool, else stdlib-wave (all outputs identical,
+        tested)."""
+        if self.cache is not None:
+            out = np.empty((len(paths), out_len), np.float32)
+            for i, (p, s) in enumerate(zip(paths, starts)):
+                out[i] = self.cache.slice(p, int(s), out_len, self.fs)
+            return out
         if self.use_native_decoder:
             out = load_segments_native(paths, starts, out_len,
                                        self.decoder_threads)

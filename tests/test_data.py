@@ -139,3 +139,21 @@ def test_memmap_roundtrip(tmp_path):
     assert shape == (10, 128)
     np.testing.assert_array_equal(np.asarray(data), arr)
     assert load_memmap(str(tmp_path), "db", shape_only=True) == (10, 128)
+
+
+def test_song_cache_identical_to_direct(wav_root):
+    from nafp_tpu.data.loader import SegmentLoader
+    fps = sorted(__import__("glob").glob(wav_root + "/music/train-10k-30s/*.wav"))
+    bg = sorted(__import__("glob").glob(wav_root + "/aug/bg/tr/*.wav"))
+    kw = dict(bsz=8, n_anchor=4, duration=1.0, hop=0.5, fs=FS, shuffle=True,
+              random_offset_anchor=True, bg_fps=bg)
+    cached = SegmentLoader(fps, song_cache_bytes=1 << 30, **kw)
+    direct = SegmentLoader(fps, **kw)
+    for i in (0, 3):
+        a, b = cached[i], direct[i]
+        for k in ("anchors", "replicas", "bg"):
+            np.testing.assert_allclose(a[k], b[k], atol=1e-7, err_msg=k)
+    # cache is bounded: tiny capacity must still work (evicts, stays correct)
+    tiny = SegmentLoader(fps, song_cache_bytes=200_000, **kw)
+    np.testing.assert_allclose(tiny[0]["anchors"], direct[0]["anchors"],
+                               atol=1e-7)
