@@ -7,8 +7,12 @@ per-sample Python/TensorArray loop (``ncutout_tarray.py:171-186``) and its
 own README records 359 ms per batch for per-sample masks vs <5 ms for a
 single shared mask. Here masks are built by broadcasted index comparisons —
 ``(B, n_holes, F, T)`` boolean algebra on the VPU — so **per-sample masks
-cost the same as the shared one** and uniform_mask=False becomes the
-default-quality choice (config ``SPEC_AUG.UNIFORM_MASK``).
+cost the same as the shared one** (config ``SPEC_AUG.UNIFORM_MASK=False``).
+The default stays uniform_mask=True, matching the reference's semantics:
+with per-sample masks the anchor and its replica receive *different* holes,
+a strictly stronger invariance demand that we measured collapsing NT-Xent
+training (loss pinned at 2·ln(2n-1), embeddings identical) where the shared
+mask trains fine.
 
 Semantics preserved per layer kind (``specaug_chain.py:113-145``):
   - 'cutout'     rectangular holes, sizes in [dim//10, dim/2.5) each axis;
@@ -118,7 +122,7 @@ def spec_augment(x: jax.Array,
                  probs: Union[float, Tuple[float, ...]] = 1.0,
                  n_holes: int = 1,
                  hole_fill="zeros",
-                 uniform_mask: bool = False) -> jax.Array:
+                 uniform_mask: bool = True) -> jax.Array:
     """Apply the ordered augmentation chain to a (B, F, T, 1) batch."""
     if not isinstance(probs, tuple):
         probs = (float(probs),) * len(chain)
@@ -145,4 +149,4 @@ def get_specaug_fn(cfg: Dict[str, Any]):
         else float(sa["SPECAUG_PROBS"]),
         n_holes=int(sa["SPECAUG_N_HOLES"]),
         hole_fill=hole_fill,
-        uniform_mask=bool(sa.get("UNIFORM_MASK", False)))
+        uniform_mask=bool(sa.get("UNIFORM_MASK", True)))

@@ -15,7 +15,8 @@ def _spec(b=4, f=64, t=32):
 
 def test_cutout_zeros_creates_rect_holes():
     out = np.asarray(spec_augment(_spec(), KEY, chain=("cutout",),
-                                  n_holes=2, hole_fill="zeros"))
+                                  n_holes=2, hole_fill="zeros",
+                                  uniform_mask=False))
     # some pixels zeroed, a minority of the area
     frac = (out == 0).mean()
     assert 0.0 < frac < 0.6
@@ -34,7 +35,7 @@ def test_uniform_mask_shares_hole_across_batch():
 
 def test_vertical_stripe_spans_full_freq():
     out = np.asarray(spec_augment(_spec(), KEY, chain=("vertical",),
-                                  hole_fill="zeros"))
+                                  hole_fill="zeros", uniform_mask=False))
     holes = (out == 0)[..., 0]  # (B,F,T)
     for b in range(holes.shape[0]):
         cols = holes[b].any(axis=0)
@@ -47,7 +48,7 @@ def test_vertical_stripe_spans_full_freq():
 
 def test_horizontal_stripe_spans_full_time():
     out = np.asarray(spec_augment(_spec(), KEY, chain=("horizontal",),
-                                  hole_fill="zeros"))
+                                  hole_fill="zeros", uniform_mask=False))
     holes = (out == 0)[..., 0]
     for b in range(holes.shape[0]):
         rows = holes[b].any(axis=1)
@@ -63,7 +64,8 @@ def test_prob_zero_is_identity():
 
 def test_hole_fill_range():
     out = np.asarray(spec_augment(_spec() * 5.0, KEY, chain=("cutout",),
-                                  hole_fill=(-3.0, -2.0)))
+                                  hole_fill=(-3.0, -2.0),
+                                  uniform_mask=False))
     holed = out[out != 5.0]
     assert holed.size > 0
     assert ((holed >= -3.0) & (holed <= -2.0)).all()
@@ -72,7 +74,7 @@ def test_hole_fill_range():
 def test_chain_order_applies_both():
     out = np.asarray(spec_augment(_spec(), KEY,
                                   chain=("cutout", "horizontal"),
-                                  hole_fill="zeros"))
+                                  hole_fill="zeros", uniform_mask=False))
     assert (out == 0).any()
 
 
