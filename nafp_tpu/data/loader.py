@@ -31,7 +31,7 @@ from __future__ import annotations
 import math
 import queue
 import threading
-from typing import Dict, List, Optional, Sequence
+from typing import Dict, Sequence
 
 import numpy as np
 

@@ -30,7 +30,7 @@ from nafp_tpu.models.nnfp import get_fingerprinter
 from nafp_tpu.ops.melspec import get_melspec_fn
 from nafp_tpu.ops.tdaug import augment_replicas
 from nafp_tpu.train.experiment import ExperimentHelper
-from nafp_tpu.train.trainer import init_params
+
 
 
 def load_params(cfg: Dict[str, Any], checkpoint_name: str,

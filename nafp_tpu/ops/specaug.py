@@ -30,7 +30,7 @@ step PRNG key — strictly more random, and stateless.
 from __future__ import annotations
 
 import functools
-from typing import Any, Dict, List, Sequence, Tuple, Union
+from typing import Any, Dict, Sequence, Tuple, Union
 
 import jax
 import jax.numpy as jnp

@@ -11,7 +11,7 @@ Inputs follow the reference convention: query ``(nQ, nAug, d)``, db
 """
 from __future__ import annotations
 
-from typing import List, Sequence, Tuple
+from typing import Sequence, Tuple
 
 import jax
 import jax.numpy as jnp

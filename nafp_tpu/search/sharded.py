@@ -12,7 +12,7 @@ past one GPU.
 """
 from __future__ import annotations
 
-import functools
+
 from typing import Optional, Tuple
 
 import jax
