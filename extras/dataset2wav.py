@@ -35,7 +35,7 @@ def main(out_dir, config, split, n_pos, seed):
     from nafp_tpu.configuration import load_config
     from nafp_tpu.data.catalog import Dataset, _glob_wavs
     from nafp_tpu.data.loader import SegmentLoader, prefetch
-    from nafp_tpu.ops.tdaug import augment_replicas
+    from nafp_tpu.ops.tdaug import MAX_IR_LENGTH, augment_replicas
 
     cfg = load_config(config)
     ds = Dataset(cfg)
@@ -68,7 +68,7 @@ def main(out_dir, config, split, n_pos, seed):
             xp,
             jnp.asarray(batch["bg"]) if "bg" in batch else jnp.zeros_like(xp),
             jnp.asarray(batch["ir"]) if "ir" in batch
-            else jnp.zeros((xp.shape[0], 600), jnp.float32),
+            else jnp.zeros((xp.shape[0], MAX_IR_LENGTH), jnp.float32),
             jax.random.PRNGKey(seed + bi)))
         n_valid = int(batch["n_valid"]) * max(1, loader.n_pos_per_anchor)
         for i in range(n_valid):

@@ -37,8 +37,7 @@ import numpy as np
 
 from nafp_tpu.data.audio_io import load_wav_segment, wav_info
 from nafp_tpu.native import load_segments_native
-
-MAX_IR_LENGTH = 600  # samples @ 8 kHz (dataloader_keras.py:8)
+from nafp_tpu.ops.tdaug import MAX_IR_LENGTH  # single source of truth
 
 
 class SongCache:
@@ -239,7 +238,10 @@ class SegmentLoader:
                     p_starts.append(base + p_off)
 
         anchors = np.zeros((self.n_anchor, self.seg_len), np.float32)
-        anchors[:n_valid] = self._decode(a_paths, a_starts, self.seg_len)
+        if not self.reduce_batch_first_half:
+            # query-synthesis loaders drop anchors from the output; skip
+            # decoding them (halves host IO for the unseen_syn pass)
+            anchors[:n_valid] = self._decode(a_paths, a_starts, self.seg_len)
         replicas = np.zeros((self.n_pos_bsz, self.seg_len), np.float32)
         if p_paths:
             replicas[:len(p_paths)] = self._decode(p_paths, p_starts,
@@ -302,7 +304,11 @@ class SegmentLoader:
 def prefetch(loader: SegmentLoader, n_prefetch: int = 2):
     """Background-thread prefetch iterator (counterpart of the reference's
     OrderedEnqueuer usage, trainer.py:183-194). WAV decode is IO-bound and
-    releases the GIL, so a thread suffices on this 1-core host."""
+    releases the GIL, so a thread suffices on this 1-core host.
+
+    Worker exceptions are re-raised in the consumer — a decode failure must
+    crash the run, not silently truncate the stream (which would leave
+    zero rows in generated fingerprint memmaps)."""
     q: "queue.Queue" = queue.Queue(maxsize=n_prefetch)
     stop = object()
 
@@ -310,8 +316,9 @@ def prefetch(loader: SegmentLoader, n_prefetch: int = 2):
         try:
             for i in range(len(loader)):
                 q.put(loader[i])
-        finally:
             q.put(stop)
+        except BaseException as e:  # propagate to consumer
+            q.put(e)
 
     t = threading.Thread(target=worker, daemon=True)
     t.start()
@@ -319,4 +326,6 @@ def prefetch(loader: SegmentLoader, n_prefetch: int = 2):
         item = q.get()
         if item is stop:
             break
+        if isinstance(item, BaseException):
+            raise item
         yield item

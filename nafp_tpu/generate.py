@@ -28,7 +28,7 @@ from nafp_tpu.data.catalog import Dataset
 from nafp_tpu.data.loader import prefetch
 from nafp_tpu.models.nnfp import get_fingerprinter
 from nafp_tpu.ops.melspec import get_melspec_fn
-from nafp_tpu.ops.tdaug import augment_replicas
+from nafp_tpu.ops.tdaug import MAX_IR_LENGTH, augment_replicas
 from nafp_tpu.train.experiment import ExperimentHelper
 
 
@@ -129,7 +129,7 @@ def generate_fingerprint(cfg: Dict[str, Any],
                                   else jnp.zeros_like(batch["replicas"]),
                                   jnp.asarray(batch["ir"]) if "ir" in batch
                                   else jnp.zeros((batch["replicas"].shape[0],
-                                                  600), jnp.float32),
+                                                  MAX_IR_LENGTH), jnp.float32),
                                   jax.random.PRNGKey(i))
                 n_valid = int(batch["n_valid"]) * max(1, loader.n_pos_per_anchor)
             else:

@@ -199,6 +199,13 @@ int hnsw_size(void* handle) { return static_cast<Hnsw*>(handle)->n(); }
 void hnsw_search(void* handle, const float* queries, int nq, int k,
                  int ef_search, int64_t* out_ids, float* out_scores) {
   auto* h = static_cast<Hnsw*>(handle);
+  if (h->entry < 0) {  // empty index: report misses, don't crash
+    for (int64_t i = 0; i < static_cast<int64_t>(nq) * k; ++i) {
+      out_ids[i] = -1;
+      out_scores[i] = -1e30f;
+    }
+    return;
+  }
   std::vector<uint8_t> visited(h->n(), 0);
   std::vector<int> touched;
   touched.reserve(4096);

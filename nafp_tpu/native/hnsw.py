@@ -69,8 +69,10 @@ class HNSWIndex:
                ) -> Tuple[np.ndarray, np.ndarray]:
         q = np.ascontiguousarray(q, np.float32)
         nq = len(q)
-        ids = np.empty((nq, k), np.int64)
-        scores = np.empty((nq, k), np.float32)
+        ids = np.full((nq, k), -1, np.int64)
+        scores = np.full((nq, k), -1e30, np.float32)
+        if self.ntotal == 0:
+            return scores, ids
         self._lib.hnsw_search(
             self._h, q.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
             nq, k, ef_search or self.ef_search,

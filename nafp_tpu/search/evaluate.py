@@ -62,9 +62,26 @@ def _score_candidates(q_seq: jax.Array, cands: jax.Array,
     return jnp.where(invalid, -jnp.inf, scores), cands_sorted
 
 
-def _hits_for_block(index, recon_dev, query, ids_block, sl, k_probe):
-    """Returns (top1_exact, top1_near, top3, top10) boolean arrays for a
-    block of test ids at one sequence length."""
+def _score_candidates_host(q_seq, cands, recon, sl):
+    """Numpy mirror of _score_candidates for DBs too large for HBM: gathers
+    candidate windows from the host (memmap-backed) raw-vector array."""
+    n = recon.shape[0]
+    cands_sorted = np.sort(cands, axis=1)
+    dup = np.concatenate([np.zeros_like(cands_sorted[:, :1], bool),
+                          cands_sorted[:, 1:] == cands_sorted[:, :-1]], axis=1)
+    invalid = (cands_sorted < 0) | (cands_sorted + sl > n) | dup
+    safe = np.clip(cands_sorted, 0, n - sl)
+    win_idx = safe[:, :, None] + np.arange(sl)[None, None, :]
+    windows = recon[win_idx]                                    # (B,C,sl,d)
+    scores = np.einsum("bod,bcod->bc", q_seq, windows) / sl
+    scores[invalid] = -np.inf
+    return scores, cands_sorted
+
+
+def _hits_for_block(index, recon_dev, recon_host, query, ids_block, sl,
+                    k_probe):
+    """Returns the (B, 10) ranked candidate start ids for a block of test
+    ids at one sequence length."""
     b = len(ids_block)
     q_seq = np.stack([query[t:t + sl] for t in ids_block])      # (B, sl, d)
     _, hit_ids = index.search(q_seq.reshape(-1, query.shape[1]), k_probe)
@@ -74,12 +91,21 @@ def _hits_for_block(index, recon_dev, query, ids_block, sl, k_probe):
     starts = np.where(hit_ids < 0, -1, starts)
     cands = starts.reshape(b, sl * k_probe)
 
-    scores, cands_sorted = _score_candidates(
-        jnp.asarray(q_seq), jnp.asarray(cands), recon_dev, sl)
-    k10 = min(10, scores.shape[1])
-    top_scores, pos = jax.lax.top_k(scores, k10)
-    pred = np.asarray(jnp.take_along_axis(cands_sorted, pos, axis=1))
-    valid = np.isfinite(np.asarray(top_scores))
+    if recon_dev is not None:
+        scores, cands_sorted = _score_candidates(
+            jnp.asarray(q_seq), jnp.asarray(cands), recon_dev, sl)
+        k10 = min(10, scores.shape[1])
+        top_scores, pos = jax.lax.top_k(scores, k10)
+        pred = np.asarray(jnp.take_along_axis(cands_sorted, pos, axis=1))
+        valid = np.isfinite(np.asarray(top_scores))
+    else:
+        scores, cands_sorted = _score_candidates_host(q_seq, cands,
+                                                      recon_host, sl)
+        k10 = min(10, scores.shape[1])
+        pos = np.argsort(-scores, axis=1)[:, :k10]
+        top_scores = np.take_along_axis(scores, pos, axis=1)
+        pred = np.take_along_axis(cands_sorted, pos, axis=1)
+        valid = np.isfinite(top_scores)
     pred = np.where(valid, pred, -999999)
     return pred  # (B, 10) ranked candidate start ids
 
@@ -112,7 +138,15 @@ def eval_fingerprints(emb_dir: str,
         index.add(full_db)
     print(f"index[{index_type}] over {len(full_db):,} items "
           f"({time.time() - t0:.2f}s)")
-    recon_dev = jnp.asarray(full_db)  # raw vectors for sequence rescoring
+    # Raw vectors for sequence rescoring: device-resident when they fit
+    # comfortably in HBM, host (memmap-backed) gather otherwise — the 100x
+    # protocol (53.6M x 128 f32 = 27 GB) cannot live on one chip.
+    device_recon_limit = 4 << 30
+    recon_dev = (jnp.asarray(full_db)
+                 if full_db.nbytes <= device_recon_limit else None)
+    if recon_dev is None:
+        print(f"recon array {full_db.nbytes / 2**30:.1f} GiB > "
+              f"{device_recon_limit / 2**30:.0f} GiB: host-side rescoring")
 
     # test ids (eval_faiss.py:177-186)
     query = np.asarray(query, np.float32)
@@ -144,8 +178,8 @@ def eval_fingerprints(emb_dir: str,
     for si, sl in enumerate(seq_lens):
         for s in range(0, n_test, block):
             ids_block = ids[s:s + block]
-            pred = _hits_for_block(index, recon_dev, query, ids_block,
-                                   int(sl), k_probe)
+            pred = _hits_for_block(index, recon_dev, full_db, query,
+                                   ids_block, int(sl), k_probe)
             g = gt[s:s + block, None]
             top1_exact[s:s + block, si] = (pred[:, :1] == g).any(1)
             top1_near[s:s + block, si] = (np.abs(pred[:, :1] - g) <= 1).any(1)

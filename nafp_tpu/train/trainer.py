@@ -33,7 +33,7 @@ from nafp_tpu.losses.triplet import online_triplet_loss
 from nafp_tpu.models.nnfp import get_fingerprinter
 from nafp_tpu.ops.melspec import get_melspec_fn
 from nafp_tpu.ops.specaug import get_specaug_fn
-from nafp_tpu.ops.tdaug import augment_replicas
+from nafp_tpu.ops.tdaug import MAX_IR_LENGTH, augment_replicas
 from nafp_tpu.optim.schedules import build_optimizer
 from nafp_tpu.parallel.mesh import mesh_from_cfg
 from nafp_tpu.search.minisearch import mini_search_eval
@@ -49,6 +49,13 @@ class TrainState(NamedTuple):
 def build_fp(cfg: Dict[str, Any]):
     """melspec fn, specaug fn, FingerPrinter (reference build_fp,
     trainer.py:19-30)."""
+    if str(cfg["MODEL"].get("BN", "")).lower() == "batch_norm":
+        # The trainer does not thread mutable batch statistics (and the
+        # reference itself warns BN misbehaves on TPUs, nnfp.py:178).
+        # Failing loudly beats silently training against frozen init stats.
+        raise NotImplementedError(
+            "MODEL.BN='batch_norm' is not supported for training; use "
+            "'layer_norm2d' (default) or 'layer_norm1d'")
     melspec_fn, mcfg = get_melspec_fn(cfg)
     specaug_fn = get_specaug_fn(cfg)
     model = get_fingerprinter(cfg)
@@ -94,9 +101,12 @@ def _make_loss_fn(cfg, melspec_fn, specaug_fn, model, train: bool):
                                     tau=tau, axis_name=axis_name)
         elif loss_mode == "ONLINE-TRIPLET":
             n_ppa = (emb.shape[0] - n_anchors) // n_anchors
+            # Validation uses mode 'all' with margin 0, like the reference
+            # (model/trainer.py:165-169).
             loss, sim, _ = online_triplet_loss(
                 emb[:n_anchors], emb[n_anchors:], n_anchor=n_anchors,
-                n_pos_per_anchor=n_ppa, margin=margin,
+                n_pos_per_anchor=n_ppa,
+                margin=margin if train else 0.0,
                 mode="semi-hard" if train else "all")
             if axis_name is not None:
                 loss = jax.lax.pmean(loss, axis_name)
@@ -228,7 +238,7 @@ def _device_batch(batch, mesh: Mesh):
     if "speech" not in out:
         out["speech"] = jax.device_put(jnp.zeros_like(out["replicas"]), sh)
     if "ir" not in out:
-        z = jnp.zeros((out["replicas"].shape[0], 600), jnp.float32)
+        z = jnp.zeros((out["replicas"].shape[0], MAX_IR_LENGTH), jnp.float32)
         out["ir"] = jax.device_put(z, sh)
     return out
 
@@ -262,6 +272,12 @@ def trainer(cfg: Dict[str, Any], checkpoint_name: str) -> None:
                                  optimizer, mesh)
     val_step = make_val_step(cfg, melspec_fn, specaug_fn, model, mesh)
     test_step = make_test_step(melspec_fn, model)
+
+    val_aug = jax.jit(functools.partial(
+        augment_replicas,
+        snr_range=tuple(cfg["TD_AUG"]["VAL_SNR"]),
+        use_bg=bool(cfg["TD_AUG"]["VAL_BG_AUG"]),
+        use_ir=bool(cfg["TD_AUG"]["VAL_IR_AUG"])))
 
     base_key = jax.random.PRNGKey(int(cfg["TRAIN"].get("SEED", 0)))
     ep_max = int(cfg["TRAIN"]["MAX_EPOCH"])
@@ -319,11 +335,6 @@ def trainer(cfg: Dict[str, Any], checkpoint_name: str) -> None:
                          "opt_state": state.opt_state, "step": state.step})
 
         if cfg["TRAIN"].get("MINI_TEST_IN_TRAIN"):
-            val_aug = jax.jit(functools.partial(
-                augment_replicas,
-                snr_range=tuple(cfg["TD_AUG"]["VAL_SNR"]),
-                use_bg=bool(cfg["TD_AUG"]["VAL_BG_AUG"]),
-                use_ir=bool(cfg["TD_AUG"]["VAL_IR_AUG"])))
             accs_by_scope, scopes, key_strs = mini_search_validation(
                 val_ds, state.params, test_step,
                 aug_fn=lambda xp, bg, ir, k: val_aug(xp, bg, ir, k)

@@ -109,3 +109,21 @@ def test_generate_custom_source(e2e_cfg):
                                    output_root_dir=e2e_cfg["DIR"]
                                    ["OUTPUT_ROOT_DIR"] + "custom/")
     assert os.path.exists(os.path.join(out_dir, "custom_source.mm"))
+
+
+def test_eval_host_rescoring_matches_device(e2e_cfg):
+    """The host (large-DB) scorer must reproduce the device scorer."""
+    import nafp_tpu.search.evaluate as E
+    rng = np.random.default_rng(0)
+    recon = rng.standard_normal((500, 16)).astype(np.float32)
+    q_seq = rng.standard_normal((4, 3, 16)).astype(np.float32)
+    cands = rng.integers(-1, 500, (4, 12))
+    import jax.numpy as jnp
+    s_dev, c_dev = E._score_candidates(jnp.asarray(q_seq),
+                                       jnp.asarray(cands),
+                                       jnp.asarray(recon), 3)
+    s_host, c_host = E._score_candidates_host(q_seq, np.asarray(cands),
+                                              recon, 3)
+    np.testing.assert_array_equal(np.asarray(c_dev), c_host)
+    np.testing.assert_allclose(np.asarray(s_dev), s_host, rtol=1e-4,
+                               atol=1e-5)
