@@ -13,6 +13,7 @@ import json
 import time
 
 import jax
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_tpu_cache")
 import jax.numpy as jnp
 
 BASELINE_SEGS_PER_SEC = 10_000.0  # BASELINE.md north-star

@@ -1,0 +1,83 @@
+#!/usr/bin/env python
+"""Search-throughput benchmark (secondary; the headline bench is bench.py).
+
+Measures QPS for segment-level top-k over a synthetic fingerprint DB at a
+configurable scale, across index types. North star (BASELINE.md): >= 1,000
+QPS on the 100x DB on a v4-8; one v5e chip carries a proportional share.
+
+Usage:
+    python bench_search.py [--n 2000000] [--nq 2048] [--k 20]
+                           [--index l2|ip|ivfpq|hnsw|pallas]
+"""
+import argparse
+import json
+import time
+
+import jax
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_tpu_cache")
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n", type=int, default=2_000_000)
+    ap.add_argument("--nq", type=int, default=2048)
+    ap.add_argument("--k", type=int, default=20)
+    ap.add_argument("--index", default="ip")
+    ap.add_argument("--d", type=int, default=128)
+    args = ap.parse_args()
+
+    rng = np.random.default_rng(0)
+    print(f"building DB: {args.n:,} x {args.d} ...", flush=True)
+    db = rng.standard_normal((args.n, args.d)).astype(np.float32)
+    db /= np.linalg.norm(db, axis=1, keepdims=True)
+    q = db[rng.integers(0, args.n, args.nq)] + \
+        0.05 * rng.standard_normal((args.nq, args.d)).astype(np.float32)
+
+    t0 = time.perf_counter()
+    if args.index == "pallas":
+        import jax.numpy as jnp
+        from nafp_tpu.search.pallas_topk import topk_ip_pallas
+        db_dev = jnp.asarray(db)
+
+        class _P:
+            ntotal = args.n
+
+            @staticmethod
+            def search(qq, k):
+                outs = []
+                for s in range(0, len(qq), 512):
+                    blk = np.asarray(qq[s:s + 512], np.float32)
+                    v, i = topk_ip_pallas(jnp.asarray(blk), db_dev, k=k)
+                    outs.append(np.asarray(i))
+                return None, np.concatenate(outs)
+        index = _P()
+    elif args.index == "hnsw":
+        from nafp_tpu.native.hnsw import HNSWIndex
+        index = HNSWIndex(d=args.d)
+        index.add(db)
+    else:
+        from nafp_tpu.search.index import get_index
+        index = get_index(args.index, db)
+        if hasattr(index, "add") and index.ntotal == 0:
+            index.add(db)
+    build_s = time.perf_counter() - t0
+
+    # warm + measure
+    index.search(q[:64], args.k)
+    t0 = time.perf_counter()
+    _, ids = index.search(q, args.k)
+    dt = time.perf_counter() - t0
+    print(json.dumps({
+        "metric": "search_qps",
+        "index": args.index,
+        "n": args.n,
+        "value": round(args.nq / dt, 1),
+        "unit": "queries/sec",
+        "build_sec": round(build_s, 2),
+        "ms_per_query_batch": round(1000 * dt, 1),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -54,18 +54,20 @@ class FlatIndex:
         d, ids = jax.lax.top_k(sim, k)
         return d, ids
 
-    # Above ~2 GB of materialized (Bq, N) logits, switch to the fused
-    # Pallas kernel that streams DB tiles and never materializes them
-    # (search/pallas_topk.py). Below that, XLA's matmul + TopK is faster
-    # (measured: 40 ms vs 54 ms for 512x620k on v5e).
-    PALLAS_LOGITS_BYTES = 2 << 30
+    # Above ~1M rows, switch every search on this DB to the fused Pallas
+    # kernel that streams DB tiles and never materializes the (Bq, N)
+    # logits (search/pallas_topk.py). Below that, XLA's matmul + TopK is
+    # faster (measured: 40 ms vs 54 ms for 512x620k on v5e). The decision
+    # is per-DB, not per-call: mixing paths compiles an XLA TopK program
+    # over the full N for small warm-up batches, which the remote compiler
+    # chokes on at large N.
+    PALLAS_MIN_ROWS = 1_000_000
 
     def search(self, q: np.ndarray, k: int,
                block: int = 2048) -> Tuple[np.ndarray, np.ndarray]:
         q = np.asarray(q, np.float32)
         use_pallas = (jax.default_backend() == "tpu" and self.metric == "ip"
-                      and min(block, len(q)) * self.ntotal * 4
-                      > self.PALLAS_LOGITS_BYTES)
+                      and self.ntotal >= self.PALLAS_MIN_ROWS)
         if use_pallas:
             from nafp_tpu.search.pallas_topk import topk_ip_pallas
             block = min(block, 512)  # VMEM sim-tile budget
