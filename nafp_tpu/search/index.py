@@ -113,31 +113,40 @@ def _kmeanspp_init(data: jax.Array, k: int, key: jax.Array) -> jax.Array:
     return cents
 
 
+@jax.jit
+def _lloyd_step(data: jax.Array, cents: jax.Array) -> jax.Array:
+    """One Lloyd iteration: argmax-assignment matmul + one-hot segment sums
+    (MXU, no scatters). Module-level jit so repeated kmeans() calls (the 64
+    PQ codebooks) reuse one executable."""
+    k = cents.shape[0]
+    d_sq = jnp.sum(data ** 2, 1, keepdims=True)
+    c_sq = jnp.sum(cents ** 2, 1)
+    sim = (2.0 * jnp.dot(data, cents.T, preferred_element_type=jnp.float32)
+           - c_sq[None, :] - d_sq)
+    assign = jnp.argmax(sim, axis=1)                        # (n,)
+    onehot = jax.nn.one_hot(assign, k, dtype=jnp.float32)   # (n, k)
+    sums = jnp.dot(onehot.T, data, preferred_element_type=jnp.float32)
+    counts = jnp.sum(onehot, axis=0)[:, None]
+    new = sums / jnp.maximum(counts, 1.0)
+    # keep empty clusters where they were
+    return jnp.where(counts > 0, new, cents)
+
+
+@functools.partial(jax.jit, static_argnames=("block",))
+def _assign_block(data: jax.Array, cents: jax.Array, block: int = 0):
+    c_sq = jnp.sum(cents ** 2, 1)
+    sim = (2.0 * jnp.dot(data, cents.T, preferred_element_type=jnp.float32)
+           - c_sq[None, :])
+    return jnp.argmax(sim, axis=1).astype(jnp.int32)
+
+
 def kmeans(data: jax.Array, k: int, iters: int = 10,
            key: Optional[jax.Array] = None) -> jax.Array:
-    """Lloyd k-means on device with k-means++ init. Assignment = argmax of
-    the similarity matmul; update = segment-sum via one-hot matmul (MXU,
-    no scatters)."""
+    """Lloyd k-means on device with k-means++ init."""
     key = jax.random.PRNGKey(0) if key is None else key
     cents = jax.jit(_kmeanspp_init, static_argnums=1)(data, k, key)
-
-    @jax.jit
-    def step(cents):
-        d_sq = jnp.sum(data ** 2, 1, keepdims=True)
-        c_sq = jnp.sum(cents ** 2, 1)
-        sim = (2.0 * jnp.dot(data, cents.T,
-                             preferred_element_type=jnp.float32)
-               - c_sq[None, :] - d_sq)
-        assign = jnp.argmax(sim, axis=1)                    # (n,)
-        onehot = jax.nn.one_hot(assign, k, dtype=jnp.float32)  # (n, k)
-        sums = jnp.dot(onehot.T, data, preferred_element_type=jnp.float32)
-        counts = jnp.sum(onehot, axis=0)[:, None]
-        new = sums / jnp.maximum(counts, 1.0)
-        # keep empty clusters where they were
-        return jnp.where(counts > 0, new, cents)
-
     for _ in range(iters):
-        cents = step(cents)
+        cents = _lloyd_step(data, cents)
     return cents
 
 
@@ -195,13 +204,18 @@ class IVFPQIndex:
         self.codebooks = jnp.stack(books)                   # (m, ksub, dsub)
         self._trained = True
 
-    def _assign_np(self, data: np.ndarray, block: int = 65536) -> np.ndarray:
-        cents = np.asarray(self.centroids)
+    def _assign_np(self, data: np.ndarray, block: int = 262144) -> np.ndarray:
+        """Coarse-list assignment on device, blockwise (the previous numpy
+        path took minutes single-core at millions of rows)."""
         out = np.empty(len(data), np.int32)
         for s in range(0, len(data), block):
-            blk = data[s:s + block]
-            sim = 2 * blk @ cents.T - (cents ** 2).sum(1)[None, :]
-            out[s:s + block] = sim.argmax(1)
+            blk = np.ascontiguousarray(data[s:s + block])
+            pad = block - len(blk) if len(blk) < block and len(data) > block \
+                else 0
+            if pad:
+                blk = np.pad(blk, ((0, pad), (0, 0)))
+            a = np.asarray(_assign_block(jnp.asarray(blk), self.centroids))
+            out[s:s + block] = a[:len(a) - pad] if pad else a
         return out
 
     # -- add ---------------------------------------------------------------
