@@ -262,42 +262,54 @@ class IVFPQIndex:
     # -- search ------------------------------------------------------------
     @functools.partial(jax.jit, static_argnames=("self", "k"))
     def _search_block(self, q: jax.Array, k: int):
+        """ADC scan streamed one probed list at a time with a running
+        top-k merge: peak memory is O(nq * cap), independent of nprobe.
+        (A one-shot gather of all probed codes was a >30 GB allocation at
+        2M rows.)"""
         nq = q.shape[0]
         # 1. coarse probe: top-nprobe centroids by inner product
         q_cent = jnp.dot(q, self.centroids.T,
                          preferred_element_type=jnp.float32)  # (nq, nlist)
         _, probes = jax.lax.top_k(q_cent, self.nprobe)        # (nq, nprobe)
-        # 2. candidate rows from padded lists
-        rows = self.lists[probes]                     # (nq, nprobe, cap)
-        rows = rows.reshape(nq, -1)                   # (nq, C)
-        valid = rows >= 0
-        rows_safe = jnp.maximum(rows, 0)
-        # 3. ADC: LUT per subquantizer + gather-sum over codes
         lut = jnp.einsum("nmd,mkd->nmk", q.reshape(nq, self.m, self.dsub),
                          self.codebooks,
                          preferred_element_type=jnp.float32)  # (nq, m, ksub)
-        cand_codes = self.codes[rows_safe]            # (nq, C, m) uint8
-        resid_sim = jnp.take_along_axis(
-            lut[:, None], cand_codes[..., None].astype(jnp.int32), axis=-1
-        )[..., 0].sum(-1)                             # (nq, C)
-        coarse_sim = jnp.take_along_axis(
-            q_cent, self.list_of_row[rows_safe], axis=1)
-        score = jnp.where(valid, coarse_sim + resid_sim, -jnp.inf)
+        cap = self.list_cap
+        keep = max(k, 4 * k if self.refine else k)
+        keep = min(keep, self.nprobe * cap)
+
+        def scan_probe(i, carry):
+            best_v, best_r = carry
+            p = jax.lax.dynamic_slice(probes, (0, i), (nq, 1))  # (nq, 1)
+            rows = self.lists[p[:, 0]]                          # (nq, cap)
+            valid = rows >= 0
+            rows_safe = jnp.maximum(rows, 0)
+            codes = self.codes[rows_safe].astype(jnp.int32)     # (nq,cap,m)
+            resid = jnp.take_along_axis(
+                lut[:, None], codes[..., None], axis=-1)[..., 0].sum(-1)
+            coarse = jnp.take_along_axis(q_cent, p, axis=1)     # (nq, 1)
+            score = jnp.where(valid, coarse + resid, -jnp.inf)  # (nq, cap)
+            all_v = jnp.concatenate([best_v, score], axis=1)
+            all_r = jnp.concatenate([best_r, rows_safe], axis=1)
+            best_v, sel = jax.lax.top_k(all_v, keep)
+            best_r = jnp.take_along_axis(all_r, sel, axis=1)
+            return best_v, best_r
+
+        init = (jnp.full((nq, keep), -jnp.inf),
+                jnp.zeros((nq, keep), jnp.int32))
+        best_v, best_r = jax.lax.fori_loop(0, self.nprobe, scan_probe, init)
+
         if self.refine and self.raw is not None:
             # exact rescore of the PQ top-(4k) shortlist
-            kk = min(4 * k, score.shape[1])
-            _, top = jax.lax.top_k(score, kk)
-            short_rows = jnp.take_along_axis(rows_safe, top, axis=1)
-            vecs = self.raw[short_rows]               # (nq, kk, d)
+            vecs = self.raw[best_r]                   # (nq, keep, d)
             exact = jnp.einsum("nd,nkd->nk", q, vecs,
                                preferred_element_type=jnp.float32)
-            exact = jnp.where(jnp.take_along_axis(valid, top, axis=1),
-                              exact, -jnp.inf)
+            exact = jnp.where(jnp.isfinite(best_v), exact, -jnp.inf)
             d2, sel = jax.lax.top_k(exact, k)
-            ids = jnp.take_along_axis(self.ids[short_rows], sel, axis=1)
+            ids = jnp.take_along_axis(self.ids[best_r], sel, axis=1)
             return d2, jnp.where(jnp.isfinite(d2), ids, -1)
-        d2, sel = jax.lax.top_k(score, k)
-        ids = jnp.take_along_axis(self.ids[rows_safe], sel, axis=1)
+        d2 = best_v[:, :k]
+        ids = self.ids[best_r[:, :k]]
         return d2, jnp.where(jnp.isfinite(d2), ids, -1)
 
     def search(self, q: np.ndarray, k: int,
