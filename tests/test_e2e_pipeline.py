@@ -127,3 +127,33 @@ def test_eval_host_rescoring_matches_device(e2e_cfg):
     np.testing.assert_array_equal(np.asarray(c_dev), c_host)
     np.testing.assert_allclose(np.asarray(s_dev), s_host, rtol=1e-4,
                                atol=1e-5)
+
+
+def test_generate_unseen_syn(e2e_cfg):
+    """'unseen_syn' mode: queries synthesized on-device from the val db."""
+    from nafp_tpu.generate import generate_fingerprint
+    cfg = {k: (dict(v) if isinstance(v, dict) else v)
+           for k, v in e2e_cfg.items()}
+    ckpt = os.path.join(cfg["DIR"]["LOG_ROOT_DIR"], "checkpoint", "e2e")
+    if not os.path.isdir(ckpt):  # order-independent: train briefly
+        from nafp_tpu.train.trainer import trainer
+        cfg_t = {k: (dict(v) if isinstance(v, dict) else v)
+                 for k, v in cfg.items()}
+        cfg_t["TRAIN"]["MAX_EPOCH"] = 1
+        trainer(cfg_t, "e2e")
+    cfg["DATA_SEL"]["TEST_QUERY_DB"] = "unseen_syn"
+    # need a val db/ subdir for the synthesized queries
+    src_root = cfg["DIR"]["SOURCE_ROOT_DIR"]
+    import shutil, glob as g
+    os.makedirs(src_root + "val-query-db-500-30s/db/", exist_ok=True)
+    for f in g.glob(src_root + "val-query-db-500-30s/*.wav"):
+        shutil.copy(f, src_root + "val-query-db-500-30s/db/")
+    out_dir = generate_fingerprint(
+        cfg, "e2e", skip_dummy=True, assume_yes=True,
+        output_root_dir=cfg["DIR"]["OUTPUT_ROOT_DIR"] + "syn/")
+    q = np.load(os.path.join(out_dir, "query_shape.npy"))
+    db = np.load(os.path.join(out_dir, "db_shape.npy"))
+    assert q[0] == db[0] > 0     # one synthesized query per db segment
+    qm = np.memmap(os.path.join(out_dir, "query.mm"), dtype=np.float32,
+                   mode="r", shape=tuple(q))
+    assert np.abs(np.asarray(qm)).max() > 0  # real embeddings, not zeros
