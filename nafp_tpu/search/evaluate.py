@@ -174,6 +174,7 @@ def eval_fingerprints(emb_dir: str,
 
     t_start = time.time()
     n_searches = 0
+    total = n_test * len(seq_lens)
     block = 128
     for si, sl in enumerate(seq_lens):
         for s in range(0, n_test, block):
@@ -186,6 +187,12 @@ def eval_fingerprints(emb_dir: str,
             top3_exact[s:s + block, si] = (pred[:, :3] == g).any(1)
             top10_exact[s:s + block, si] = (pred[:, :10] == g).any(1)
             n_searches += len(ids_block)
+            # live progress (counterpart of PrintTable's rolling update)
+            rate = 100.0 * top1_exact[:s + len(ids_block), si].mean()
+            ms = 1000.0 * (time.time() - t_start) / max(1, n_searches)
+            print(f"  seq_len {sl}: {s + len(ids_block)}/{n_test} "
+                  f"top1 {rate:5.1f}%  {ms:6.2f} ms/query", end="\r")
+        print()
 
     elapsed = time.time() - t_start
     ms_per_query = 1000.0 * elapsed / max(1, n_test * len(seq_lens))
