@@ -316,10 +316,11 @@ class IVFPQIndex:
                block: int = 256) -> Tuple[np.ndarray, np.ndarray]:
         q = np.asarray(q, np.float32)
         # Cap the query block so the per-probe gather intermediates
-        # (block x list_cap x m int32) stay within a ~128M-element budget;
-        # oversized blocks fault the TPU worker at multi-million-row scale.
+        # (block x list_cap x m int32) stay within a ~32M-element budget;
+        # oversized blocks fault the TPU worker at multi-million-row scale
+        # (measured: block 256 crashes at 2M rows / cap 8180, 64 works).
         if getattr(self, "list_cap", 0):
-            budget = (1 << 27) // max(1, self.list_cap * self.m)
+            budget = (1 << 25) // max(1, self.list_cap * self.m)
             block = int(np.clip(budget, 16, block))
         outs_d, outs_i = [], []
         for s in range(0, len(q), block):
