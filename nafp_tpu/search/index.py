@@ -41,18 +41,26 @@ class FlatIndex:
         self.db_sq = jnp.sum(self.db.astype(jnp.float32) ** 2, axis=1)
         self.ntotal = self.db.shape[0]
 
-    @functools.partial(jax.jit, static_argnames=("self", "k"))
-    def _search_block(self, q: jax.Array, k: int):
-        sim = jnp.dot(q.astype(self.db.dtype), self.db.T,
+    # NOTE for every index here: device arrays are passed as jit ARGUMENTS,
+    # never accessed via a static `self` — a static self bakes the whole DB
+    # into the program as a constant (hundreds of MB of compile payload,
+    # rejected by the remote compiler, and no executable reuse across DBs).
+    @staticmethod
+    @functools.partial(jax.jit, static_argnames=("k", "metric"))
+    def _search_block_impl(q, db, db_sq, k: int, metric: str):
+        sim = jnp.dot(q.astype(db.dtype), db.T,
                       preferred_element_type=jnp.float32)
-        if self.metric == "l2":
+        if metric == "l2":
             # ||q-x||^2 = ||q||^2 + ||x||^2 - 2 q·x ; ||q||^2 is rank-const
-            score = 2.0 * sim - self.db_sq[None, :]
+            score = 2.0 * sim - db_sq[None, :]
             d, ids = jax.lax.top_k(score, k)
             q_sq = jnp.sum(q.astype(jnp.float32) ** 2, axis=1, keepdims=True)
             return q_sq - d, ids  # actual L2^2 distances
         d, ids = jax.lax.top_k(sim, k)
         return d, ids
+
+    def _search_block(self, q: jax.Array, k: int):
+        return self._search_block_impl(q, self.db, self.db_sq, k, self.metric)
 
     # Above ~1M rows, switch every search on this DB to the fused Pallas
     # kernel that streams DB tiles and never materializes the (Bq, N)
@@ -260,57 +268,12 @@ class IVFPQIndex:
         return jnp.argmax(sim, axis=-1).astype(jnp.uint8)
 
     # -- search ------------------------------------------------------------
-    @functools.partial(jax.jit, static_argnames=("self", "k"))
     def _search_block(self, q: jax.Array, k: int):
-        """ADC scan streamed one probed list at a time with a running
-        top-k merge: peak memory is O(nq * cap), independent of nprobe.
-        (A one-shot gather of all probed codes was a >30 GB allocation at
-        2M rows.)"""
-        nq = q.shape[0]
-        # 1. coarse probe: top-nprobe centroids by inner product
-        q_cent = jnp.dot(q, self.centroids.T,
-                         preferred_element_type=jnp.float32)  # (nq, nlist)
-        _, probes = jax.lax.top_k(q_cent, self.nprobe)        # (nq, nprobe)
-        lut = jnp.einsum("nmd,mkd->nmk", q.reshape(nq, self.m, self.dsub),
-                         self.codebooks,
-                         preferred_element_type=jnp.float32)  # (nq, m, ksub)
-        cap = self.list_cap
-        keep = max(k, 4 * k if self.refine else k)
-        keep = min(keep, self.nprobe * cap)
-
-        def scan_probe(i, carry):
-            best_v, best_r = carry
-            p = jax.lax.dynamic_slice(probes, (0, i), (nq, 1))  # (nq, 1)
-            rows = self.lists[p[:, 0]]                          # (nq, cap)
-            valid = rows >= 0
-            rows_safe = jnp.maximum(rows, 0)
-            codes = self.codes[rows_safe].astype(jnp.int32)     # (nq,cap,m)
-            resid = jnp.take_along_axis(
-                lut[:, None], codes[..., None], axis=-1)[..., 0].sum(-1)
-            coarse = jnp.take_along_axis(q_cent, p, axis=1)     # (nq, 1)
-            score = jnp.where(valid, coarse + resid, -jnp.inf)  # (nq, cap)
-            all_v = jnp.concatenate([best_v, score], axis=1)
-            all_r = jnp.concatenate([best_r, rows_safe], axis=1)
-            best_v, sel = jax.lax.top_k(all_v, keep)
-            best_r = jnp.take_along_axis(all_r, sel, axis=1)
-            return best_v, best_r
-
-        init = (jnp.full((nq, keep), -jnp.inf),
-                jnp.zeros((nq, keep), jnp.int32))
-        best_v, best_r = jax.lax.fori_loop(0, self.nprobe, scan_probe, init)
-
-        if self.refine and self.raw is not None:
-            # exact rescore of the PQ top-(4k) shortlist
-            vecs = self.raw[best_r]                   # (nq, keep, d)
-            exact = jnp.einsum("nd,nkd->nk", q, vecs,
-                               preferred_element_type=jnp.float32)
-            exact = jnp.where(jnp.isfinite(best_v), exact, -jnp.inf)
-            d2, sel = jax.lax.top_k(exact, k)
-            ids = jnp.take_along_axis(self.ids[best_r], sel, axis=1)
-            return d2, jnp.where(jnp.isfinite(d2), ids, -1)
-        d2 = best_v[:, :k]
-        ids = self.ids[best_r[:, :k]]
-        return d2, jnp.where(jnp.isfinite(d2), ids, -1)
+        return _ivfpq_search_block(
+            q, self.centroids, self.codebooks, self.lists, self.codes,
+            self.ids, self.raw if self.refine else None,
+            k=k, nprobe=self.nprobe, m=self.m, dsub=self.dsub,
+            cap=self.list_cap, refine=self.refine)
 
     def search(self, q: np.ndarray, k: int,
                block: int = 256) -> Tuple[np.ndarray, np.ndarray]:
@@ -333,6 +296,185 @@ class IVFPQIndex:
             outs_d.append(np.asarray(d[:n]))
             outs_i.append(np.asarray(ids[:n]))
         return np.concatenate(outs_d), np.concatenate(outs_i)
+
+
+@functools.partial(jax.jit, static_argnames=("k", "nprobe", "m", "dsub",
+                                             "cap", "refine"))
+def _ivfpq_search_block(q, centroids, codebooks, lists, codes_arr, ids_arr,
+                        raw, *, k, nprobe, m, dsub, cap, refine):
+    """ADC scan streamed one probed list at a time with a running top-k
+    merge: peak memory is O(nq * cap), independent of nprobe. (A one-shot
+    gather of all probed codes was a >30 GB allocation at 2M rows.)"""
+    nq = q.shape[0]
+    # 1. coarse probe: top-nprobe centroids by inner product
+    q_cent = jnp.dot(q, centroids.T,
+                     preferred_element_type=jnp.float32)  # (nq, nlist)
+    _, probes = jax.lax.top_k(q_cent, nprobe)             # (nq, nprobe)
+    lut = jnp.einsum("nmd,mkd->nmk", q.reshape(nq, m, dsub),
+                     codebooks,
+                     preferred_element_type=jnp.float32)  # (nq, m, ksub)
+    keep = max(k, 4 * k if refine else k)
+    keep = min(keep, nprobe * cap)
+
+    def scan_probe(i, carry):
+        best_v, best_r = carry
+        p = jax.lax.dynamic_slice(probes, (0, i), (nq, 1))  # (nq, 1)
+        rows = lists[p[:, 0]]                               # (nq, cap)
+        valid = rows >= 0
+        rows_safe = jnp.maximum(rows, 0)
+        codes = codes_arr[rows_safe].astype(jnp.int32)      # (nq,cap,m)
+        resid = jnp.take_along_axis(
+            lut[:, None], codes[..., None], axis=-1)[..., 0].sum(-1)
+        coarse = jnp.take_along_axis(q_cent, p, axis=1)     # (nq, 1)
+        score = jnp.where(valid, coarse + resid, -jnp.inf)  # (nq, cap)
+        all_v = jnp.concatenate([best_v, score], axis=1)
+        all_r = jnp.concatenate([best_r, rows_safe], axis=1)
+        best_v, sel = jax.lax.top_k(all_v, keep)
+        best_r = jnp.take_along_axis(all_r, sel, axis=1)
+        return best_v, best_r
+
+    init = (jnp.full((nq, keep), -jnp.inf),
+            jnp.zeros((nq, keep), jnp.int32))
+    best_v, best_r = jax.lax.fori_loop(0, nprobe, scan_probe, init)
+
+    if refine and raw is not None:
+        # exact rescore of the PQ top-(4k) shortlist
+        vecs = raw[best_r]                        # (nq, keep, d)
+        exact = jnp.einsum("nd,nkd->nk", q, vecs,
+                           preferred_element_type=jnp.float32)
+        exact = jnp.where(jnp.isfinite(best_v), exact, -jnp.inf)
+        d2, sel = jax.lax.top_k(exact, k)
+        ids = jnp.take_along_axis(ids_arr[best_r], sel, axis=1)
+        return d2, jnp.where(jnp.isfinite(d2), ids, -1)
+    d2 = best_v[:, :k]
+    ids = ids_arr[best_r[:, :k]]
+    return d2, jnp.where(jnp.isfinite(d2), ids, -1)
+
+
+
+# ---------------------------------------------------------------------------
+# IVF-SQ8: the TPU-native scalable index
+# ---------------------------------------------------------------------------
+class IVFSQ8Index:
+    """IVF with int8 scalar-quantized vectors and contiguous slice scans.
+
+    The TPU-native answer to large-scale ANN: PQ's ADC scan is per-element
+    LUT gathers, which measure ~28x slower than streaming on this hardware.
+    Here vectors are stored int8 (per-vector scale; 129 B/vec = 2x PQ64's
+    64 B, still 4x smaller than f32), *sorted by coarse list* so a probed
+    list is one contiguous ``dynamic_slice`` feeding an int8 MXU matmul —
+    measured 428 QPS/chip at 2M rows vs 3.3 QPS for gather-based ADC.
+
+    A slice reads ``cap`` rows from the list start; rows past the list's
+    end belong to the *next* lists and are scored too — they are genuine
+    vectors with genuine ids, so they can only add recall. Tail rows past
+    the DB are masked by id.
+    """
+
+    def __init__(self, d: int = 128, nlist: int = 256, nprobe: int = 40):
+        self.d, self.nlist, self.nprobe = d, nlist, nprobe
+        self.ntotal = 0
+        self._trained = False
+
+    def train(self, data: np.ndarray, max_train: int = int(1e7),
+              kmeans_iters: int = 10, seed: int = 0) -> None:
+        data = np.asarray(data, np.float32)
+        if len(data) > max_train:
+            sel = np.random.default_rng(seed).permutation(len(data))[:max_train]
+            data = data[sel]
+        self.centroids = kmeans(jnp.asarray(data), self.nlist,
+                                iters=kmeans_iters,
+                                key=jax.random.PRNGKey(seed))
+        self._trained = True
+
+    def add(self, data: np.ndarray) -> None:
+        assert self._trained, "train() before add()"
+        data = np.asarray(data, np.float32)
+        assign = IVFPQIndex._assign_np(self, data)
+        order = np.argsort(assign, kind="stable")
+        sorted_data = data[order]
+        counts = np.bincount(assign, minlength=self.nlist)
+        self.list_cap = int(max(1, counts.max()))
+        starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
+
+        scales = np.maximum(np.abs(sorted_data).max(axis=1), 1e-12) / 127.0
+        q8 = np.clip(np.round(sorted_data / scales[:, None]),
+                     -127, 127).astype(np.int8)
+        # pad the tail so a slice at the last list start is in-bounds
+        pad = self.list_cap
+        self.vecs8 = jnp.asarray(np.concatenate(
+            [q8, np.zeros((pad, self.d), np.int8)]))
+        self.scales = jnp.asarray(np.concatenate(
+            [scales.astype(np.float32), np.zeros(pad, np.float32)]))
+        self.starts = jnp.asarray(starts.astype(np.int32))
+        self.ids = jnp.asarray(np.concatenate(
+            [order.astype(np.int32), np.full(pad, -1, np.int32)]))
+        self.ntotal = len(data)
+
+    def _search_block(self, q: jax.Array, k: int):
+        return _ivfsq8_search_block(
+            q, self.centroids, self.vecs8, self.scales, self.starts,
+            self.ids, k=k, nprobe=self.nprobe, cap=self.list_cap, d=self.d)
+
+    def search(self, q: np.ndarray, k: int,
+               block: int = 64) -> Tuple[np.ndarray, np.ndarray]:
+        q = np.asarray(q, np.float32)
+        outs_d, outs_i = [], []
+        for s in range(0, len(q), block):
+            blk = q[s:s + block]
+            pad = block - len(blk) if len(blk) < block and len(q) > block else 0
+            if pad:
+                blk = np.pad(blk, ((0, pad), (0, 0)))
+            d, ids = self._search_block(jnp.asarray(blk), k)
+            n = len(blk) - pad
+            outs_d.append(np.asarray(d[:n]))
+            outs_i.append(np.asarray(ids[:n]))
+        return np.concatenate(outs_d), np.concatenate(outs_i)
+
+
+@functools.partial(jax.jit, static_argnames=("k", "nprobe", "cap", "d"))
+def _ivfsq8_search_block(q, centroids, vecs8, scales, starts_arr, ids_arr,
+                         *, k, nprobe, cap, d):
+    nq = q.shape[0]
+    q_cent = jnp.dot(q, centroids.T, preferred_element_type=jnp.float32)
+    _, probes = jax.lax.top_k(q_cent, nprobe)           # (nq, nprobe)
+    qb = q.astype(jnp.bfloat16)
+    keep = min(2 * k, nprobe * cap)
+
+    def scan_probe(i, carry):
+        best_v, best_i = carry
+        p = jax.lax.dynamic_slice(probes, (0, i), (nq, 1))[:, 0]
+        starts = starts_arr[p]                           # (nq,)
+
+        def one(qi, si):
+            blk = jax.lax.dynamic_slice(
+                vecs8, (si, 0), (cap, d)).astype(jnp.bfloat16)
+            sc = jax.lax.dynamic_slice(scales, (si,), (cap,))
+            rid = jax.lax.dynamic_slice(ids_arr, (si,), (cap,))
+            s = jnp.dot(blk, qi, preferred_element_type=jnp.float32)
+            return s * sc, rid
+
+        score, rid = jax.vmap(one)(qb, starts)          # (nq, cap)
+        score = jnp.where(rid >= 0, score, -jnp.inf)
+        all_v = jnp.concatenate([best_v, score], axis=1)
+        all_i = jnp.concatenate([best_i, rid], axis=1)
+        best_v, sel = jax.lax.top_k(all_v, keep)
+        best_i = jnp.take_along_axis(all_i, sel, axis=1)
+        return best_v, best_i
+
+    init = (jnp.full((nq, keep), -jnp.inf),
+            jnp.full((nq, keep), -1, jnp.int32))
+    best_v, best_i = jax.lax.fori_loop(0, nprobe, scan_probe, init)
+    # dedup (overlapping tail slices can rescore the same row)
+    order = jnp.argsort(best_i, axis=1)
+    bi = jnp.take_along_axis(best_i, order, axis=1)
+    bv = jnp.take_along_axis(best_v, order, axis=1)
+    dup = jnp.concatenate([jnp.zeros_like(bi[:, :1], bool),
+                           bi[:, 1:] == bi[:, :-1]], axis=1)
+    bv = jnp.where(dup | (bi < 0), -jnp.inf, bv)
+    d2, sel = jax.lax.top_k(bv, k)
+    ids = jnp.take_along_axis(bi, sel, axis=1)
+    return d2, jnp.where(jnp.isfinite(d2), ids, -1)
 
 
 # ---------------------------------------------------------------------------

@@ -77,3 +77,24 @@ def test_get_index_factory(rng):
     assert isinstance(get_index("ip", db), FlatIndex)
     with pytest.raises(ValueError):
         get_index("bogus", db)
+
+
+@pytest.mark.slow
+def test_ivfsq8_recall_vs_exact(rng):
+    from nafp_tpu.search.index import IVFSQ8Index
+    db = _unit(rng, 20000)
+    queries = db[rng.integers(0, 20000, 64)] \
+        + 0.05 * rng.standard_normal((64, 128)).astype(np.float32)
+    exact = FlatIndex(db, metric="ip")
+    _, gt = exact.search(queries, k=1)
+    idx = IVFSQ8Index(d=128, nlist=64, nprobe=16)
+    idx.train(db, kmeans_iters=5)
+    idx.add(db)
+    assert idx.ntotal == 20000
+    _, ids = idx.search(queries, k=10)
+    recall = np.mean([gt[i, 0] in ids[i] for i in range(len(queries))])
+    assert recall >= 0.95, f"IVF-SQ8 top-10 recall {recall}"
+    # no duplicate ids in results
+    for row in ids:
+        real = row[row >= 0]
+        assert len(set(real.tolist())) == len(real)
