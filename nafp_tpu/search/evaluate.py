@@ -39,12 +39,14 @@ from nafp_tpu.search.table import print_results_table
 
 @functools.partial(jax.jit, static_argnames=("sl",))
 def _score_candidates(q_seq: jax.Array, cands: jax.Array,
-                      recon: jax.Array, sl: int):
+                      recon: jax.Array, sl: int, n_seg: jax.Array):
     """Sequence scores for candidate start ids.
 
-    q_seq: (B, sl, d); cands: (B, C) candidate start ids (-1 = invalid);
-    recon: (N, d) raw vectors. Returns (B, C) scores with duplicates and
-    invalid entries at -inf.
+    q_seq: (B, sl, d) with rows past n_seg zeroed; cands: (B, C) candidate
+    start ids (-1 = invalid); recon: (N, d) raw vectors; n_seg: (B,) valid
+    segments per query (test ids near the end of the query set have fewer —
+    the reference searches the truncated sequence, eval_faiss.py:208).
+    Returns (B, C) scores with duplicates and invalid entries at -inf.
     """
     n = recon.shape[0]
     # dedup: sort ids, mark repeats
@@ -58,11 +60,12 @@ def _score_candidates(q_seq: jax.Array, cands: jax.Array,
     win_idx = safe[:, :, None] + jnp.arange(sl)[None, None, :]  # (B, C, sl)
     windows = recon[win_idx]                                    # (B,C,sl,d)
     scores = jnp.einsum("bod,bcod->bc", q_seq, windows,
-                        preferred_element_type=jnp.float32) / sl
+                        preferred_element_type=jnp.float32) \
+        / n_seg[:, None].astype(jnp.float32)
     return jnp.where(invalid, -jnp.inf, scores), cands_sorted
 
 
-def _score_candidates_host(q_seq, cands, recon, sl):
+def _score_candidates_host(q_seq, cands, recon, sl, n_seg):
     """Numpy mirror of _score_candidates for DBs too large for HBM: gathers
     candidate windows from the host (memmap-backed) raw-vector array."""
     n = recon.shape[0]
@@ -73,7 +76,8 @@ def _score_candidates_host(q_seq, cands, recon, sl):
     safe = np.clip(cands_sorted, 0, n - sl)
     win_idx = safe[:, :, None] + np.arange(sl)[None, None, :]
     windows = recon[win_idx]                                    # (B,C,sl,d)
-    scores = np.einsum("bod,bcod->bc", q_seq, windows) / sl
+    scores = np.einsum("bod,bcod->bc", q_seq, windows) \
+        / n_seg[:, None].astype(np.float64)
     scores[invalid] = -np.inf
     return scores, cands_sorted
 
@@ -83,9 +87,18 @@ def _hits_for_block(index, recon_dev, recon_host, query, ids_block, sl,
     """Returns the (B, 10) ranked candidate start ids for a block of test
     ids at one sequence length."""
     b = len(ids_block)
-    q_seq = np.stack([query[t:t + sl] for t in ids_block])      # (B, sl, d)
-    _, hit_ids = index.search(q_seq.reshape(-1, query.shape[1]), k_probe)
+    d = query.shape[1]
+    # Tail ids have fewer than sl segments; pad with zero rows and track the
+    # per-id valid count (reference searches the truncated slice, :208).
+    q_seq = np.zeros((b, sl, d), np.float32)
+    n_seg = np.minimum(len(query) - ids_block, sl).astype(np.int32)
+    for j, t in enumerate(ids_block):
+        q_seq[j, :n_seg[j]] = query[t:t + n_seg[j]]
+    _, hit_ids = index.search(q_seq.reshape(-1, d), k_probe)
     hit_ids = hit_ids.reshape(b, sl, k_probe)
+    # drop hits from padded (zero) segments
+    seg_valid = np.arange(sl)[None, :] < n_seg[:, None]
+    hit_ids = np.where(seg_valid[:, :, None], hit_ids, -1)
     # offset compensation (eval_faiss.py:215-216); ignore id<0 (:219)
     starts = hit_ids - np.arange(sl)[None, :, None]
     starts = np.where(hit_ids < 0, -1, starts)
@@ -93,14 +106,15 @@ def _hits_for_block(index, recon_dev, recon_host, query, ids_block, sl,
 
     if recon_dev is not None:
         scores, cands_sorted = _score_candidates(
-            jnp.asarray(q_seq), jnp.asarray(cands), recon_dev, sl)
+            jnp.asarray(q_seq), jnp.asarray(cands), recon_dev, sl,
+            jnp.asarray(n_seg))
         k10 = min(10, scores.shape[1])
         top_scores, pos = jax.lax.top_k(scores, k10)
         pred = np.asarray(jnp.take_along_axis(cands_sorted, pos, axis=1))
         valid = np.isfinite(np.asarray(top_scores))
     else:
         scores, cands_sorted = _score_candidates_host(q_seq, cands,
-                                                      recon_host, sl)
+                                                       recon_host, sl, n_seg)
         k10 = min(10, scores.shape[1])
         pos = np.argsort(-scores, axis=1)[:, :k10]
         top_scores = np.take_along_axis(scores, pos, axis=1)

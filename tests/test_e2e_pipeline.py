@@ -119,11 +119,14 @@ def test_eval_host_rescoring_matches_device(e2e_cfg):
     q_seq = rng.standard_normal((4, 3, 16)).astype(np.float32)
     cands = rng.integers(-1, 500, (4, 12))
     import jax.numpy as jnp
+    n_seg = np.array([3, 3, 2, 3], np.int32)
+    q_seq[2, 2:] = 0.0
     s_dev, c_dev = E._score_candidates(jnp.asarray(q_seq),
                                        jnp.asarray(cands),
-                                       jnp.asarray(recon), 3)
+                                       jnp.asarray(recon), 3,
+                                       jnp.asarray(n_seg))
     s_host, c_host = E._score_candidates_host(q_seq, np.asarray(cands),
-                                              recon, 3)
+                                              recon, 3, n_seg)
     np.testing.assert_array_equal(np.asarray(c_dev), c_host)
     np.testing.assert_allclose(np.asarray(s_dev), s_host, rtol=1e-4,
                                atol=1e-5)
