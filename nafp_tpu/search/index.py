@@ -485,8 +485,9 @@ def get_index(index_type: str, train_data: np.ndarray,
     'l2'/'ip' exact; 'ivf' = IVF-PQ with near-lossless settings is not
     meaningfully distinct on TPU (matmul scan is exact) so it maps to the
     exact index; 'ivfpq' / 'ivfpq-rr' use the reference's compression
-    parameters. 'hnsw' is a CPU graph structure with no TPU-native
-    equivalent — not provided.
+    parameters; 'ivf-sq8' is the TPU-native scalable index (int8 contiguous
+    slice scans); 'hnsw' builds the native C++ graph index (host-side like
+    the reference's CPU-only faiss.IndexHNSWFlat, M=16 efC=80).
     """
     t = index_type.lower()
     d = train_data.shape[1]
@@ -497,4 +498,11 @@ def get_index(index_type: str, train_data: np.ndarray,
                          refine=(t == "ivfpq-rr"))
         idx.train(train_data, max_train=max_train)
         return idx
+    if t == "ivf-sq8":
+        idx = IVFSQ8Index(d=d, nlist=256, nprobe=nprobe)
+        idx.train(train_data, max_train=max_train)
+        return idx
+    if t == "hnsw":
+        from nafp_tpu.native.hnsw import HNSWIndex
+        return HNSWIndex(d=d, m=16, ef_construction=80)
     raise ValueError(index_type)

@@ -72,9 +72,19 @@ def test_ivfpq_recall_vs_exact(rng):
 
 
 def test_get_index_factory(rng):
-    db = _unit(rng, 1000)
+    from nafp_tpu.search.index import IVFSQ8Index
+    from nafp_tpu.native.hnsw import HNSWIndex
+    db = _unit(rng, 2000)
     assert isinstance(get_index("l2", db), FlatIndex)
     assert isinstance(get_index("ip", db), FlatIndex)
+    # every advertised type must construct (regression: registrations were
+    # once silently dropped by a refactor)
+    sq8 = get_index("ivf-sq8", db, nprobe=4)
+    assert isinstance(sq8, IVFSQ8Index)
+    sq8.add(db)
+    _, ids = sq8.search(db[:3], k=1)
+    np.testing.assert_array_equal(ids[:, 0], [0, 1, 2])
+    assert isinstance(get_index("hnsw", db), HNSWIndex)
     with pytest.raises(ValueError):
         get_index("bogus", db)
 
