@@ -502,6 +502,10 @@ def get_index(index_type: str, train_data: np.ndarray,
         idx = IVFSQ8Index(d=d, nlist=256, nprobe=nprobe)
         idx.train(train_data, max_train=max_train)
         return idx
+    if t == "l2-sharded":
+        # exact search with the DB row-sharded over the device mesh
+        from nafp_tpu.search.sharded import ShardedFlatIndex
+        return ShardedFlatIndex(train_data)
     if t == "hnsw":
         from nafp_tpu.native.hnsw import HNSWIndex
         return HNSWIndex(d=d, m=16, ef_construction=80)

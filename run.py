@@ -79,7 +79,7 @@ def generate(checkpoint_name, checkpoint_index, config, source, output,
 @click.option("--config", "-c", default="default", type=click.STRING,
               help="Name of the model configuration file in 'config/'.")
 @click.option("--index_type", "-i", default="ivfpq", type=click.STRING,
-              help="One of {'l2','ip','ivf','ivfpq','ivfpq-rr','ivf-sq8','hnsw'}.")
+              help="One of {'l2','ip','ivf','ivfpq','ivfpq-rr','ivf-sq8','l2-sharded','hnsw'}.")
 @click.option("--test_seq_len", default="1 3 5 9 11 19", type=click.STRING,
               help="Space-separated segment counts to test "
                    "(default '1 3 5 9 11 19' = 1s..10s).")

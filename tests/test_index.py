@@ -85,6 +85,11 @@ def test_get_index_factory(rng):
     _, ids = sq8.search(db[:3], k=1)
     np.testing.assert_array_equal(ids[:, 0], [0, 1, 2])
     assert isinstance(get_index("hnsw", db), HNSWIndex)
+    from nafp_tpu.search.sharded import ShardedFlatIndex
+    sharded = get_index("l2-sharded", db)
+    assert isinstance(sharded, ShardedFlatIndex)
+    _, ids = sharded.search(db[:3], k=1)
+    np.testing.assert_array_equal(ids[:, 0], [0, 1, 2])
     with pytest.raises(ValueError):
         get_index("bogus", db)
 
