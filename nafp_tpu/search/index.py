@@ -140,12 +140,27 @@ def _lloyd_step(data: jax.Array, cents: jax.Array) -> jax.Array:
     return jnp.where(counts > 0, new, cents)
 
 
-@functools.partial(jax.jit, static_argnames=("block",))
-def _assign_block(data: jax.Array, cents: jax.Array, block: int = 0):
+@jax.jit
+def _assign_block(data: jax.Array, cents: jax.Array):
     c_sq = jnp.sum(cents ** 2, 1)
     sim = (2.0 * jnp.dot(data, cents.T, preferred_element_type=jnp.float32)
            - c_sq[None, :])
     return jnp.argmax(sim, axis=1).astype(jnp.int32)
+
+
+def assign_to_centroids(data: np.ndarray, centroids: jax.Array,
+                        block: int = 262144) -> np.ndarray:
+    """Blockwise device-side nearest-centroid assignment."""
+    out = np.empty(len(data), np.int32)
+    for s in range(0, len(data), block):
+        blk = np.ascontiguousarray(data[s:s + block])
+        pad = block - len(blk) if len(blk) < block and len(data) > block \
+            else 0
+        if pad:
+            blk = np.pad(blk, ((0, pad), (0, 0)))
+        a = np.asarray(_assign_block(jnp.asarray(blk), centroids))
+        out[s:s + block] = a[:len(a) - pad] if pad else a
+    return out
 
 
 def kmeans(data: jax.Array, k: int, iters: int = 10,
@@ -212,19 +227,8 @@ class IVFPQIndex:
         self.codebooks = jnp.stack(books)                   # (m, ksub, dsub)
         self._trained = True
 
-    def _assign_np(self, data: np.ndarray, block: int = 262144) -> np.ndarray:
-        """Coarse-list assignment on device, blockwise (the previous numpy
-        path took minutes single-core at millions of rows)."""
-        out = np.empty(len(data), np.int32)
-        for s in range(0, len(data), block):
-            blk = np.ascontiguousarray(data[s:s + block])
-            pad = block - len(blk) if len(blk) < block and len(data) > block \
-                else 0
-            if pad:
-                blk = np.pad(blk, ((0, pad), (0, 0)))
-            a = np.asarray(_assign_block(jnp.asarray(blk), self.centroids))
-            out[s:s + block] = a[:len(a) - pad] if pad else a
-        return out
+    def _assign_np(self, data: np.ndarray) -> np.ndarray:
+        return assign_to_centroids(data, self.centroids)
 
     # -- add ---------------------------------------------------------------
     def add(self, data: np.ndarray) -> None:
@@ -390,7 +394,7 @@ class IVFSQ8Index:
     def add(self, data: np.ndarray) -> None:
         assert self._trained, "train() before add()"
         data = np.asarray(data, np.float32)
-        assign = IVFPQIndex._assign_np(self, data)
+        assign = assign_to_centroids(data, self.centroids)
         order = np.argsort(assign, kind="stable")
         sorted_data = data[order]
         counts = np.bincount(assign, minlength=self.nlist)
