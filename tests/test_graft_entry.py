@@ -1,6 +1,8 @@
 """Driver entry points: compile-check entry() and run dryrun_multichip."""
 import importlib.util
 import os
+import subprocess
+import sys
 
 import jax
 import jax.numpy as jnp
@@ -17,6 +19,25 @@ def _load_entry_module():
 def test_dryrun_multichip_8_devices():
     mod = _load_entry_module()
     mod.dryrun_multichip(8)  # asserts finite loss internally
+
+
+def test_dryrun_driver_call_pattern():
+    """Reproduce the driver's exact invocation: fresh interpreter, harness
+    env intact (TPU plugin as default platform, no XLA_FLAGS, no conftest).
+    dryrun_multichip must force its own virtual CPU mesh (round-1 failure:
+    it only did so under __main__, so the driver's direct call initialized
+    the TPU backend and died)."""
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "axon"  # what the harness bakes
+    env.pop("XLA_FLAGS", None)
+    env.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_test_cache")
+    r = subprocess.run(
+        [sys.executable, "-c",
+         "import __graft_entry__; __graft_entry__.dryrun_multichip(8)"],
+        cwd=repo, env=env, capture_output=True, text=True, timeout=900)
+    assert r.returncode == 0, f"stdout:\n{r.stdout}\nstderr:\n{r.stderr}"
+    assert "ok, loss=" in r.stdout
 
 
 def test_entry_traces():
