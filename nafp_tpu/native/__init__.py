@@ -43,7 +43,14 @@ def wavio_lib() -> Optional[ctypes.CDLL]:
         if not _build():
             return None
     try:
-        lib = ctypes.CDLL(_SO)
+        try:
+            lib = ctypes.CDLL(_SO)
+        except OSError:
+            # Incompatible binary (e.g. built on another platform/arch):
+            # rebuild once for this host before giving up.
+            if not _build():
+                return None
+            lib = ctypes.CDLL(_SO)
         lib.nafp_load_segments.restype = ctypes.c_int
         lib.nafp_load_segments.argtypes = [
             ctypes.POINTER(ctypes.c_char_p),

@@ -19,15 +19,24 @@ _SO = os.path.join(os.path.dirname(__file__), "_hnsw.so")
 _lib: Optional[ctypes.CDLL] = None
 
 
+def _build() -> None:
+    subprocess.run(["g++", "-O3", "-shared", "-fPIC", "-std=c++17",
+                    _SRC, "-o", _SO], check=True, capture_output=True,
+                   timeout=180)
+
+
 def _load() -> ctypes.CDLL:
     global _lib
     if _lib is not None:
         return _lib
     if not os.path.exists(_SO) or os.path.getmtime(_SO) < os.path.getmtime(_SRC):
-        subprocess.run(["g++", "-O3", "-shared", "-fPIC", "-std=c++17",
-                        _SRC, "-o", _SO], check=True, capture_output=True,
-                       timeout=180)
-    lib = ctypes.CDLL(_SO)
+        _build()
+    try:
+        lib = ctypes.CDLL(_SO)
+    except OSError:
+        # Binary from another platform/arch: rebuild once for this host.
+        _build()
+        lib = ctypes.CDLL(_SO)
     lib.hnsw_create.restype = ctypes.c_void_p
     lib.hnsw_create.argtypes = [ctypes.c_int, ctypes.c_int, ctypes.c_int,
                                 ctypes.c_uint64]

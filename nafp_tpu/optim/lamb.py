@@ -48,14 +48,17 @@ def lamb(learning_rate: Union[float, Callable],
     def update_fn(grads, state, params):
         if params is None:
             raise ValueError("lamb requires params")
+        # TF/Keras schedules are evaluated at the 0-based iteration (the
+        # pre-increment count): step 1 uses schedule(0). Bias correction
+        # uses the 1-based count like TF-Addons.
+        lr = (learning_rate(state.count) if callable(learning_rate)
+              else learning_rate)
         count = state.count + 1
         mu = jax.tree.map(lambda m, g: b1 * m + (1 - b1) * g, state.mu, grads)
         nu = jax.tree.map(lambda v, g: b2 * v + (1 - b2) * g * g,
                           state.nu, grads)
         c1 = 1 - b1 ** count.astype(jnp.float32)
         c2 = 1 - b2 ** count.astype(jnp.float32)
-
-        lr = learning_rate(count) if callable(learning_rate) else learning_rate
 
         flat_p, _ = jax.tree_util.tree_flatten_with_path(params)
         flat_m = jax.tree_util.tree_leaves(mu)

@@ -54,11 +54,16 @@ def _score_candidates(q_seq: jax.Array, cands: jax.Array,
     dup = jnp.concatenate(
         [jnp.zeros_like(cands_sorted[:, :1], bool),
          cands_sorted[:, 1:] == cands_sorted[:, :-1]], axis=1)
-    invalid = (cands_sorted < 0) | (cands_sorted + sl > n) | dup
+    # Validity is per-row against the TRUNCATED query length: a tail test id
+    # with n_seg < sl segments must still match a DB window of n_seg rows
+    # near the DB end (the reference scores the shorter diagonal,
+    # eval_faiss.py:222-229). Window rows past n_seg contribute 0 because
+    # q_seq is zeroed there; clamped duplicate rows are likewise inert.
+    invalid = (cands_sorted < 0) | (cands_sorted + n_seg[:, None] > n) | dup
 
-    safe = jnp.clip(cands_sorted, 0, n - sl)
+    safe = jnp.clip(cands_sorted, 0, n - 1)
     win_idx = safe[:, :, None] + jnp.arange(sl)[None, None, :]  # (B, C, sl)
-    windows = recon[win_idx]                                    # (B,C,sl,d)
+    windows = recon[jnp.minimum(win_idx, n - 1)]                # (B,C,sl,d)
     scores = jnp.einsum("bod,bcod->bc", q_seq, windows,
                         preferred_element_type=jnp.float32) \
         / n_seg[:, None].astype(jnp.float32)
@@ -72,14 +77,50 @@ def _score_candidates_host(q_seq, cands, recon, sl, n_seg):
     cands_sorted = np.sort(cands, axis=1)
     dup = np.concatenate([np.zeros_like(cands_sorted[:, :1], bool),
                           cands_sorted[:, 1:] == cands_sorted[:, :-1]], axis=1)
-    invalid = (cands_sorted < 0) | (cands_sorted + sl > n) | dup
-    safe = np.clip(cands_sorted, 0, n - sl)
-    win_idx = safe[:, :, None] + np.arange(sl)[None, None, :]
+    # mirror of _score_candidates: per-row truncated-length validity
+    invalid = (cands_sorted < 0) | (cands_sorted + n_seg[:, None] > n) | dup
+    safe = np.clip(cands_sorted, 0, n - 1)
+    win_idx = np.minimum(safe[:, :, None] + np.arange(sl)[None, None, :],
+                         n - 1)
     windows = recon[win_idx]                                    # (B,C,sl,d)
     scores = np.einsum("bod,bcod->bc", q_seq, windows) \
         / n_seg[:, None].astype(np.float64)
     scores[invalid] = -np.inf
     return scores, cands_sorted
+
+
+# Above this size the merged dummy_db+db array lives on disk, not RAM.
+MERGE_RAM_LIMIT = 8 << 30
+
+
+def _merged_recon(emb_dir: str, dummy_db, db) -> np.ndarray:
+    """Merged [dummy_db; db] raw-vector array for index build + rescoring.
+
+    Counterpart of the reference's 'fake_recon_index' (eval_faiss.py:163-174)
+    but WITHOUT mutating dummy_db.mm in place. Small DBs are concatenated in
+    RAM; past MERGE_RAM_LIMIT the merge is an on-disk memmap written
+    blockwise (peak RAM stays O(block), not O(2N) as a concatenate would).
+    """
+    n_d, n_q = len(dummy_db), len(db)
+    d = db.shape[1]
+    total_bytes = (n_d + n_q) * d * 4
+    if total_bytes <= MERGE_RAM_LIMIT:
+        return np.concatenate([np.asarray(dummy_db), np.asarray(db)])
+    path = os.path.join(emb_dir, "merged_recon.mm")
+    shape = (n_d + n_q, d)
+    if os.path.exists(path) and os.path.getsize(path) == total_bytes:
+        print(f"reusing merged recon memmap {path}")
+        return np.memmap(path, np.float32, mode="r", shape=shape)
+    mm = np.memmap(path, np.float32, mode="w+", shape=shape)
+    blk = 1 << 20
+    for s in range(0, n_d, blk):
+        e = min(s + blk, n_d)
+        mm[s:e] = dummy_db[s:e]
+    for s in range(0, n_q, blk):
+        e = min(s + blk, n_q)
+        mm[n_d + s:n_d + e] = db[s:e]
+    mm.flush()
+    return np.memmap(path, np.float32, mode="r", shape=shape)
 
 
 def _hits_for_block(index, recon_dev, recon_host, query, ids_block, sl,
@@ -143,7 +184,7 @@ def eval_fingerprints(emb_dir: str,
     dummy_db, dummy_shape = load_memmap(dummy_dir, "dummy_db")
 
     n_dummy = int(dummy_shape[0])
-    full_db = np.concatenate([np.asarray(dummy_db), np.asarray(db)])
+    full_db = _merged_recon(emb_dir, dummy_db, db)
     del dummy_db
 
     t0 = time.time()

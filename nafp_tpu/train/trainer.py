@@ -71,7 +71,8 @@ def init_params(cfg: Dict[str, Any], model, mcfg, seed: int = 42):
 # ---------------------------------------------------------------------------
 # Steps (pure; called inside shard_map so 'data' axis is available)
 # ---------------------------------------------------------------------------
-def _make_loss_fn(cfg, melspec_fn, specaug_fn, model, train: bool):
+def _make_loss_fn(cfg, melspec_fn, specaug_fn, model, train: bool,
+                  aug_keys: Optional[frozenset] = None):
     loss_mode = str(cfg["LOSS"]["LOSS_MODE"]).upper()
     tau = float(cfg["LOSS"]["TAU"])
     margin = float(cfg["LOSS"]["MARGIN"])
@@ -82,14 +83,22 @@ def _make_loss_fn(cfg, melspec_fn, specaug_fn, model, train: bool):
         "TR_SPEECH_AUG" if train else "VAL_SPEECH_AUG", False))
 
     def loss_fn(params, batch, key, axis_name: Optional[str]):
+        # Which aug sources truly exist: _device_batch pads missing ones
+        # with zero stand-ins (shard_map wants a fixed key set), so batch
+        # membership alone would route clean replicas through the degenerate
+        # zero-noise mix (max-norm + amp-scale). The trainer passes the host
+        # loader's real source set; trace-time membership is the fallback
+        # for direct callers feeding unpadded batches.
+        have = aug_keys if aug_keys is not None else frozenset(
+            k for k in ("bg", "ir", "speech") if k in batch)
         k_td, k_spec = jax.random.split(key)
         xa = batch["anchors"]
         xp = augment_replicas(batch["replicas"], batch.get("bg"),
                               batch.get("ir"), k_td, snr,
-                              use_bg=use_bg and "bg" in batch,
-                              use_ir=use_ir and "ir" in batch,
+                              use_bg=use_bg and "bg" in have,
+                              use_ir=use_ir and "ir" in have,
                               speech=batch.get("speech"),
-                              use_speech=use_speech and "speech" in batch)
+                              use_speech=use_speech and "speech" in have)
         x = jnp.concatenate([xa, xp], axis=0)
         feat = melspec_fn(x)
         if train:
@@ -118,7 +127,7 @@ def _make_loss_fn(cfg, melspec_fn, specaug_fn, model, train: bool):
 
 
 def make_train_step(cfg, melspec_fn, specaug_fn, model, optimizer,
-                    mesh: Mesh):
+                    mesh: Mesh, aug_keys: Optional[frozenset] = None):
     """Build the jitted sharded train step.
 
     Batch arrays are sharded over 'data'; state is replicated. Inside the
@@ -126,7 +135,8 @@ def make_train_step(cfg, melspec_fn, specaug_fn, model, optimizer,
     all-gather backward returns cross-device contributions) and grads are
     psum'd, so updates are identical on every device.
     """
-    loss_fn = _make_loss_fn(cfg, melspec_fn, specaug_fn, model, train=True)
+    loss_fn = _make_loss_fn(cfg, melspec_fn, specaug_fn, model, train=True,
+                            aug_keys=aug_keys)
     axis = "data" if mesh.size > 1 else None
 
     def step(state: TrainState, batch, key):
@@ -156,8 +166,10 @@ def make_train_step(cfg, melspec_fn, specaug_fn, model, optimizer,
     return jax.jit(sharded, donate_argnums=(0,))
 
 
-def make_val_step(cfg, melspec_fn, specaug_fn, model, mesh: Mesh):
-    loss_fn = _make_loss_fn(cfg, melspec_fn, specaug_fn, model, train=False)
+def make_val_step(cfg, melspec_fn, specaug_fn, model, mesh: Mesh,
+                  aug_keys: Optional[frozenset] = None):
+    loss_fn = _make_loss_fn(cfg, melspec_fn, specaug_fn, model, train=False,
+                            aug_keys=aug_keys)
     axis = "data" if mesh.size > 1 else None
 
     def step(params, batch, key):
@@ -268,9 +280,16 @@ def trainer(cfg: Dict[str, Any], checkpoint_name: str) -> None:
     rep = NamedSharding(mesh, P())
     state = jax.device_put(state, rep)
 
+    def _aug_keys(ds):
+        return frozenset(k for k, flag in (("bg", ds.bg_mix),
+                                           ("ir", ds.ir_mix),
+                                           ("speech", ds.speech_mix)) if flag)
+
+    val_ds = dataset.get_val_ds(max_song=250)
     train_step = make_train_step(cfg, melspec_fn, specaug_fn, model,
-                                 optimizer, mesh)
-    val_step = make_val_step(cfg, melspec_fn, specaug_fn, model, mesh)
+                                 optimizer, mesh, aug_keys=_aug_keys(train_ds))
+    val_step = make_val_step(cfg, melspec_fn, specaug_fn, model, mesh,
+                             aug_keys=_aug_keys(val_ds))
     test_step = make_test_step(melspec_fn, model)
 
     val_aug = jax.jit(functools.partial(
@@ -318,7 +337,6 @@ def trainer(cfg: Dict[str, Any], checkpoint_name: str) -> None:
             helper.log_image("tr_sim_mtx", np.asarray(sim), ep)
 
         # Validation (no specaug; TD-aug per VAL_* flags — reference :201-213)
-        val_ds = dataset.get_val_ds(max_song=250)
         val_losses = []
         for i, batch in enumerate(prefetch(val_ds)):
             key = jax.random.fold_in(base_key, 1_000_000 + ep * 10_000 + i)

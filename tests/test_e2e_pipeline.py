@@ -132,6 +132,57 @@ def test_eval_host_rescoring_matches_device(e2e_cfg):
                                atol=1e-5)
 
 
+def test_tail_query_scores_truncated_window():
+    """A tail test id with n_seg < sl must still be able to match its
+    ground-truth window at the DB end (the reference scores the shorter
+    diagonal, eval_faiss.py:222-229). Regression: such candidates were
+    marked invalid whenever start + sl > n."""
+    import jax.numpy as jnp
+
+    import nafp_tpu.search.evaluate as E
+    rng = np.random.default_rng(1)
+    n, d, sl = 100, 16, 5
+    recon = rng.standard_normal((n, d)).astype(np.float32)
+    recon /= np.linalg.norm(recon, axis=1, keepdims=True)
+    # query = the last 2 DB rows; an sl=5 window would overrun the DB end
+    n_seg = np.array([2], np.int32)
+    q_seq = np.zeros((1, sl, d), np.float32)
+    q_seq[0, :2] = recon[98:100]
+    cands = np.array([[98, 50, 10, -1]], np.int32)
+    s_dev, c_dev = E._score_candidates(jnp.asarray(q_seq),
+                                       jnp.asarray(cands),
+                                       jnp.asarray(recon), sl,
+                                       jnp.asarray(n_seg))
+    s, c = np.asarray(s_dev), np.asarray(c_dev)
+    gt_pos = int(np.where(c[0] == 98)[0][0])
+    assert np.isfinite(s[0, gt_pos]), "tail ground truth marked invalid"
+    assert int(np.argmax(s[0])) == gt_pos
+    np.testing.assert_allclose(s[0, gt_pos], 1.0, rtol=1e-5)
+    # host mirror agrees
+    s_h, c_h = E._score_candidates_host(q_seq, cands, recon, sl, n_seg)
+    np.testing.assert_array_equal(c, c_h)
+    mask = np.isfinite(s)
+    np.testing.assert_array_equal(mask, np.isfinite(s_h))
+    np.testing.assert_allclose(s[mask], s_h[mask], rtol=1e-4)
+
+
+def test_merged_recon_memmap(tmp_path, monkeypatch):
+    """Past MERGE_RAM_LIMIT the dummy+db merge is an on-disk memmap with
+    identical content to the in-RAM concatenate."""
+    import nafp_tpu.search.evaluate as E
+    rng = np.random.default_rng(2)
+    dummy = rng.standard_normal((300, 8)).astype(np.float32)
+    db = rng.standard_normal((70, 8)).astype(np.float32)
+    ref = np.concatenate([dummy, db])
+    monkeypatch.setattr(E, "MERGE_RAM_LIMIT", 0)
+    out = E._merged_recon(str(tmp_path), dummy, db)
+    assert isinstance(out, np.memmap)
+    np.testing.assert_array_equal(np.asarray(out), ref)
+    # second call reuses the file
+    out2 = E._merged_recon(str(tmp_path), dummy, db)
+    np.testing.assert_array_equal(np.asarray(out2), ref)
+
+
 def test_generate_unseen_syn(e2e_cfg):
     """'unseen_syn' mode: queries synthesized on-device from the val db."""
     from nafp_tpu.generate import generate_fingerprint
