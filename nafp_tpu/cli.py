@@ -1,7 +1,13 @@
-"""Console entry point (``nafp-tpu ...``): re-exports the repo-root CLI.
+"""Canonical CLI for nafp_tpu: train -> generate -> evaluate.
 
-Kept separate from run.py so the installed package works without the repo
-checkout while ``python run.py ...`` keeps reference-CLI parity.
+Single definition of the command surface. The repo-root ``run.py`` (reference
+interface parity, reference ``run.py:37-166``) and the installed console
+script ``nafp-tpu`` (pyproject ``[project.scripts]``) both dispatch here, so
+the two entry points cannot drift.
+
+Workloads are lazy-imported inside each command so ``evaluate`` runs without
+pulling in the training stack (mirrors the reference's lazy-import rationale,
+reference ``run.py:151``).
 """
 from __future__ import annotations
 
@@ -12,16 +18,26 @@ from nafp_tpu.configuration import load_config, print_config, update_config
 
 @click.group()
 def main():
-    """nafp_tpu: train -> generate -> evaluate."""
+    """Neural audio fingerprinting on TPU: train -> generate -> evaluate.
+
+    Run COMMAND --help for per-command usage.
+    """
 
 
 @main.command()
 @click.argument("checkpoint_name", required=True)
-@click.option("--config", "-c", default="default")
-@click.option("--max_epoch", default=None, type=click.INT)
+@click.option("--config", "-c", default="default", type=click.STRING,
+              help="Config preset name; resolved to config/<NAME>.yaml.")
+@click.option("--max_epoch", default=None, type=click.INT,
+              help="Override TRAIN.MAX_EPOCH from the config.")
 def train(checkpoint_name, config, max_epoch):
-    """Train a neural audio fingerprinter."""
+    """Train a fingerprinter and checkpoint it under CHECKPOINT_NAME.
+
+    Resumes automatically from the newest checkpoint when the checkpoint
+    directory for CHECKPOINT_NAME already exists.
+    """
     from nafp_tpu.train.trainer import trainer
+
     cfg = load_config(config)
     if max_epoch:
         update_config(cfg, "TRAIN", "MAX_EPOCH", max_epoch)
@@ -32,15 +48,27 @@ def train(checkpoint_name, config, max_epoch):
 @main.command()
 @click.argument("checkpoint_name", required=True)
 @click.argument("checkpoint_index", required=False, type=click.INT)
-@click.option("--config", "-c", default="default")
-@click.option("--source", "-s", default=None)
-@click.option("--output", "-o", default=None)
-@click.option("--skip_dummy", default=False, is_flag=True)
-@click.option("--yes", "-y", default=False, is_flag=True)
+@click.option("--config", "-c", default="default", type=click.STRING,
+              help="Config preset name; resolved to config/<NAME>.yaml.")
+@click.option("--source", "-s", default=None, type=click.STRING,
+              help="Custom source root directory (16-bit 8 kHz mono WAV); "
+                   "builds a database without synthesizing queries.")
+@click.option("--output", "-o", default=None, type=click.STRING,
+              help="Root directory for generated embeddings. Default is "
+                   "OUTPUT_ROOT_DIR/CHECKPOINT_NAME from config.")
+@click.option("--skip_dummy", default=False, is_flag=True,
+              help="Exclude dummy-DB from the default source.")
+@click.option("--yes", "-y", default=False, is_flag=True,
+              help="Skip the dummy_db overwrite confirmation prompt.")
 def generate(checkpoint_name, checkpoint_index, config, source, output,
              skip_dummy, yes):
-    """Generate fingerprints from a saved checkpoint."""
+    """Extract fingerprint memmaps with a saved checkpoint.
+
+    Loads checkpoint CHECKPOINT_INDEX (newest when omitted) and writes
+    {dummy_db,db,query}.mm (+ sidecar shape files) for the evaluate step.
+    """
     from nafp_tpu.generate import generate_fingerprint
+
     cfg = load_config(config)
     generate_fingerprint(cfg, checkpoint_name, checkpoint_index, source,
                          output, skip_dummy, assume_yes=yes)
@@ -49,19 +77,33 @@ def generate(checkpoint_name, checkpoint_index, config, source, output,
 @main.command()
 @click.argument("checkpoint_name", required=True)
 @click.argument("checkpoint_index", required=True)
-@click.option("--config", "-c", default="default")
-@click.option("--index_type", "-i", default="ivfpq")
-@click.option("--test_seq_len", default="1 3 5 9 11 19")
-@click.option("--test_ids", "-t", default="icassp")
-@click.option("--emb_dummy_dir", default=None)
-@click.option("--nogpu", default=False, is_flag=True)
+@click.option("--config", "-c", default="default", type=click.STRING,
+              help="Config preset name; resolved to config/<NAME>.yaml.")
+@click.option("--index_type", "-i", default="ivfpq", type=click.STRING,
+              help="One of {'l2','ip','ivf','ivfpq','ivfpq-rr','ivf-sq8',"
+                   "'ivf-sq8-sharded','l2-sharded','hnsw'}.")
+@click.option("--test_seq_len", default="1 3 5 9 11 19", type=click.STRING,
+              help="Space-separated segment counts to test "
+                   "(default '1 3 5 9 11 19' = 1s..10s).")
+@click.option("--test_ids", "-t", default="icassp", type=click.STRING,
+              help="One of {'all', 'icassp', 'path/file.npy', (int)}.")
+@click.option("--emb_dummy_dir", default=None, type=click.STRING,
+              help="Directory containing dummy_db.mm/_shape.npy to use "
+                   "instead of EMB_DIR (parity with eval_faiss.py).")
+@click.option("--nogpu", default=False, is_flag=True,
+              help="Run the search on CPU devices (parity flag).")
 def evaluate(checkpoint_name, checkpoint_index, config, index_type,
              test_seq_len, test_ids, emb_dummy_dir, nogpu):
-    """Search and evaluation (ICASSP protocol)."""
+    """Run the ICASSP retrieval protocol over generated fingerprints.
+
+    Searches query segments against dummy_db+db and reports top1-exact/
+    top1-near/top3/top10 hit rates per query length.
+    """
     if nogpu:
         import jax
         jax.config.update("jax_platforms", "cpu")
     from nafp_tpu.search.evaluate import eval_fingerprints
+
     cfg = load_config(config)
     emb_dir = (cfg["DIR"]["OUTPUT_ROOT_DIR"].rstrip("/") + "/" +
                checkpoint_name + "/" + str(checkpoint_index) + "/")

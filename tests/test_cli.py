@@ -42,3 +42,9 @@ def test_console_entry_point_importable():
     from nafp_tpu.cli import main
     r = CliRunner().invoke(main, ["--help"])
     assert r.exit_code == 0 and "evaluate" in r.output
+
+
+def test_run_py_delegates_to_package_cli():
+    # run.py must be a shim over nafp_tpu.cli, not a second definition.
+    from nafp_tpu.cli import main
+    assert _load_run_cli() is main
