@@ -78,15 +78,21 @@ class ConvLayer(nn.Module):
     strides: Tuple[Tuple[int, int], Tuple[int, int]]
     norm: str = "layer_norm2d"
     dtype: Any = jnp.float32
+    bn_axis: Any = None  # mesh axis name for cross-replica BN stats
 
     def _norm(self, x, train: bool):
         if self.norm == "layer_norm2d":
             return LayerNorm2d()(x)
         if self.norm == "layer_norm1d":
             return nn.LayerNorm(epsilon=1e-3, dtype=jnp.float32)(x).astype(x.dtype)
-        # batch_norm (axis=-1, TF defaults momentum .99 / eps 1e-3)
+        # batch_norm (axis=-1, TF defaults momentum .99 / eps 1e-3). When a
+        # mesh axis name is given, batch statistics are pmean'd across it so
+        # every replica normalizes by the global-batch moments — the sync the
+        # reference never implemented (its nnfp.py:178 warns BN "may cause
+        # some problems" on TPUs precisely because stats were per-replica).
         return nn.BatchNorm(use_running_average=not train, momentum=0.99,
-                            epsilon=1e-3, dtype=jnp.float32)(x).astype(x.dtype)
+                            epsilon=1e-3, dtype=jnp.float32,
+                            axis_name=self.bn_axis)(x).astype(x.dtype)
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
@@ -145,6 +151,7 @@ class FingerPrinter(nn.Module):
     norm: str = "layer_norm2d"
     use_l2layer: bool = True
     dtype: Any = jnp.float32
+    bn_axis: Any = None
 
     def setup(self):
         ch = list(self.front_hidden_ch)
@@ -152,7 +159,8 @@ class FingerPrinter(nn.Module):
             ch[-1] = (ch[-1] // self.emb_sz + 1) * self.emb_sz
         self.conv_layers = [
             ConvLayer(hidden_ch=ch[i], strides=self.front_strides[i],
-                      norm=self.norm, dtype=self.dtype, name=f"conv_layer_{i}")
+                      norm=self.norm, dtype=self.dtype, bn_axis=self.bn_axis,
+                      name=f"conv_layer_{i}")
             for i in range(len(self.front_strides))
         ]
         self.div_enc = DivEncLayer(q=self.emb_sz, unit_dim=self.fc_unit_dim,
@@ -186,15 +194,18 @@ def l2_normalize(x: jax.Array, axis: int = -1, eps: float = 1e-12) -> jax.Array:
     return x * jax.lax.rsqrt(jnp.maximum(sq, eps))
 
 
-def get_fingerprinter(cfg: Dict[str, Any]) -> FingerPrinter:
+def get_fingerprinter(cfg: Dict[str, Any], bn_axis=None) -> FingerPrinter:
     """Build from a framework config dict (reference ``nnfp.py:234-258``).
 
     Optional ``MODEL.FRONT_HIDDEN_CH`` overrides the conv channel plan
     (defaults to the paper's [128,...,1024]) — useful for small ablations
-    and fast CI models.
+    and fast CI models. ``bn_axis`` names the mesh axis for cross-replica
+    batch-norm statistics (only meaningful with ``MODEL.BN='batch_norm'``
+    inside shard_map; pass None on a single-device mesh).
     """
     dtype = jnp.bfloat16 if cfg["MODEL"].get("MIXED_PRECISION", True) else jnp.float32
     ch = tuple(cfg["MODEL"].get("FRONT_HIDDEN_CH", DEFAULT_CHANNELS))
     return FingerPrinter(emb_sz=int(cfg["MODEL"]["EMB_SZ"]),
                          front_hidden_ch=ch,
-                         norm=cfg["MODEL"]["BN"], dtype=dtype)
+                         norm=cfg["MODEL"]["BN"], dtype=dtype,
+                         bn_axis=bn_axis)

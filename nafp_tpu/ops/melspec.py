@@ -146,13 +146,19 @@ def _constants(cfg: MelSpecConfig):
     return basis, mel_fb, frame_idx.astype(np.int32)
 
 
-def melspectrogram(x: jax.Array, cfg: MelSpecConfig) -> jax.Array:
+def melspectrogram(x: jax.Array, cfg: MelSpecConfig,
+                   axis_name=None) -> jax.Array:
     """Compute the log-power mel-spectrogram.
 
     Args:
       x: waveform batch, ``(B, T_samples)`` or ``(B, 1, T_samples)`` float32
          (the reference feeds ``(B, 1, T)``; both accepted).
       cfg: static MelSpecConfig.
+      axis_name: mesh axis the batch is sharded over, if called inside
+        shard_map. The reference's subtract-max runs over the WHOLE batch
+        tensor (``tf.reduce_max(x)``, melspectrogram.py:107-109), so a
+        sharded batch must pmax across devices to reproduce global-batch
+        semantics; without it each shard normalizes by its local max.
 
     Returns:
       ``(B, n_mels, n_frames, 1)`` float32 log-mel features in [-80, 0].
@@ -185,10 +191,15 @@ def melspectrogram(x: jax.Array, cfg: MelSpecConfig) -> jax.Array:
     # Reference post-processing chain (melspectrogram.py:102-112).
     mel = mel + cfg.scale_offset
     mel = jnp.log(jnp.maximum(mel, cfg.amin)) / np.log(10.0)
-    mel = mel - jnp.max(mel)                            # global max over batch
+    mx = jnp.max(mel)                                   # global max over batch
+    if axis_name is not None:
+        mx = jax.lax.pmax(mx, axis_name)
+    mel = mel - mx
     mel = jnp.maximum(mel, -cfg.dynamic_range)
     if cfg.segment_norm:
         mn = jnp.min(mel) / 2
+        if axis_name is not None:
+            mn = jax.lax.pmin(mn, axis_name)
         mel = (mel - mn) / jnp.abs(mn + 1e-10)
     return jnp.transpose(mel, (0, 2, 1))[..., None]     # (B, F, T, 1)
 

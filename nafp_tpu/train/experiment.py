@@ -95,14 +95,30 @@ class ExperimentHelper:
             self._tb.add_scalar(tag, float(value), step)
 
     def log_image(self, tag: str, matrix: np.ndarray, step: int) -> None:
-        """Similarity-matrix image (reference write_image_tensorboard,
-        :213-237 — pre/post-softmax imshow)."""
+        """Min-max-normalized matrix image."""
         if self._tb is None:
             return
         m = np.asarray(matrix, np.float32)
         lo, hi = m.min(), m.max()
         img = (m - lo) / (hi - lo + 1e-12)
         self._tb.add_image(tag, img[None, :, :], step)
+
+    def log_sim_images(self, tag: str, logits: np.ndarray, step: int) -> None:
+        """Pre/post-softmax similarity-matrix pair (reference
+        write_image_tensorboard, experiment_helper.py:213-237).
+
+        ``logits`` are the loss's returned similarity logits (rows = local
+        anchors, cols = [ab, aa] blocks). The post-softmax image shows the
+        row-wise attention the CE loss actually sees.
+        """
+        if self._tb is None:
+            return
+        m = np.asarray(logits, np.float32)
+        self.log_image(f"{tag}/pre_softmax", m, step)
+        z = m - m.max(axis=1, keepdims=True)
+        e = np.exp(z)
+        self.log_image(f"{tag}/post_softmax", e / e.sum(axis=1, keepdims=True),
+                       step)
 
     def update_minitest_acc(self, accs_by_scope, scopes, key_str: str,
                             step: int) -> None:

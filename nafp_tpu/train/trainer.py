@@ -46,19 +46,17 @@ class TrainState(NamedTuple):
     step: jnp.ndarray
 
 
-def build_fp(cfg: Dict[str, Any]):
+def build_fp(cfg: Dict[str, Any], bn_axis=None):
     """melspec fn, specaug fn, FingerPrinter (reference build_fp,
-    trainer.py:19-30)."""
-    if str(cfg["MODEL"].get("BN", "")).lower() == "batch_norm":
-        # The trainer does not thread mutable batch statistics (and the
-        # reference itself warns BN misbehaves on TPUs, nnfp.py:178).
-        # Failing loudly beats silently training against frozen init stats.
-        raise NotImplementedError(
-            "MODEL.BN='batch_norm' is not supported for training; use "
-            "'layer_norm2d' (default) or 'layer_norm1d'")
+    trainer.py:19-30).
+
+    ``bn_axis`` names the mesh axis for cross-replica batch-norm statistics
+    when ``MODEL.BN='batch_norm'`` trains on a multi-device mesh (pass None
+    off-mesh); layer-norm models ignore it.
+    """
     melspec_fn, mcfg = get_melspec_fn(cfg)
     specaug_fn = get_specaug_fn(cfg)
-    model = get_fingerprinter(cfg)
+    model = get_fingerprinter(cfg, bn_axis=bn_axis)
     return melspec_fn, specaug_fn, model, mcfg
 
 
@@ -82,7 +80,7 @@ def _make_loss_fn(cfg, melspec_fn, specaug_fn, model, train: bool,
     use_speech = bool(cfg["TD_AUG"].get(
         "TR_SPEECH_AUG" if train else "VAL_SPEECH_AUG", False))
 
-    def loss_fn(params, batch, key, axis_name: Optional[str]):
+    def loss_fn(params, batch, key, axis_name: Optional[str], stats=None):
         # Which aug sources truly exist: _device_batch pads missing ones
         # with zero stand-ins (shard_map wants a fixed key set), so batch
         # membership alone would route clean replicas through the degenerate
@@ -100,10 +98,22 @@ def _make_loss_fn(cfg, melspec_fn, specaug_fn, model, train: bool,
                               speech=batch.get("speech"),
                               use_speech=use_speech and "speech" in have)
         x = jnp.concatenate([xa, xp], axis=0)
-        feat = melspec_fn(x)
+        # pmax the subtract-max across the mesh: the reference normalizes by
+        # the WHOLE batch's max, so a sharded batch must agree globally.
+        feat = melspec_fn(x, axis_name=axis_name)
         if train:
             feat = specaug_fn(feat, k_spec)
-        emb = model.apply(params, feat, train=False)
+        # BatchNorm models carry a mutable 'batch_stats' collection: in
+        # training we normalize by (cross-replica) batch moments and return
+        # the updated running stats; in eval the frozen running stats apply.
+        if train and stats is not None:
+            emb, new_stats = model.apply({**params, **stats}, feat,
+                                         train=True,
+                                         mutable=["batch_stats"])
+            new_stats = dict(new_stats)
+        else:
+            emb = model.apply({**params, **(stats or {})}, feat, train=False)
+            new_stats = None
         n_anchors = xa.shape[0]
         if loss_mode == "NTXENT":
             loss, sim = ntxent_loss(emb[:n_anchors], emb[n_anchors:],
@@ -121,7 +131,7 @@ def _make_loss_fn(cfg, melspec_fn, specaug_fn, model, train: bool,
                 loss = jax.lax.pmean(loss, axis_name)
         else:
             raise NotImplementedError(loss_mode)
-        return loss, sim
+        return loss, (sim, new_stats)
 
     return loss_fn
 
@@ -144,14 +154,21 @@ def make_train_step(cfg, melspec_fn, specaug_fn, model, optimizer,
         if axis is not None:
             # decorrelate augmentation across devices
             key = jax.random.fold_in(key, jax.lax.axis_index(axis))
-        (loss, sim), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            state.params, batch, key, axis)
+        variables = state.params
+        params = {"params": variables["params"]}
+        stats = ({"batch_stats": variables["batch_stats"]}
+                 if "batch_stats" in variables else None)
+        (loss, (sim, new_stats)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(params, batch, key, axis, stats)
         if axis is not None:
             grads = jax.lax.psum(grads, axis)
-            sim = sim[:0]  # avoid gathering the full sim matrix per device
-        updates, opt_state = optimizer.update(grads, state.opt_state,
-                                              state.params)
-        params = optax.apply_updates(state.params, updates)
+            # sim is NOT truncated: the P('data') out-spec reassembles each
+            # device's local rows into the full matrix, and the host only
+            # fetches it at epoch end when SAVE_IMG is on (async otherwise).
+        updates, opt_state = optimizer.update(grads, state.opt_state, params)
+        params = optax.apply_updates(params, updates)
+        if new_stats is not None:
+            params = {**params, **new_stats}
         return TrainState(params, opt_state, state.step + 1), loss, sim
 
     if mesh.size == 1:
@@ -173,7 +190,9 @@ def make_val_step(cfg, melspec_fn, specaug_fn, model, mesh: Mesh,
     axis = "data" if mesh.size > 1 else None
 
     def step(params, batch, key):
-        loss, sim = loss_fn(params, batch, key, axis)
+        # `params` is the full variables dict (batch_stats ride along for
+        # BN models; loss_fn's eval path applies frozen running stats).
+        loss, (sim, _) = loss_fn(params, batch, key, axis)
         return loss, sim
 
     if mesh.size == 1:
@@ -258,8 +277,9 @@ def _device_batch(batch, mesh: Mesh):
 def trainer(cfg: Dict[str, Any], checkpoint_name: str) -> None:
     """The epoch loop (reference trainer.py:111-230)."""
     dataset = Dataset(cfg)
-    melspec_fn, specaug_fn, model, mcfg = build_fp(cfg)
     mesh = mesh_from_cfg(cfg)
+    bn_axis = "data" if mesh.size > 1 else None
+    melspec_fn, specaug_fn, model, mcfg = build_fp(cfg, bn_axis=bn_axis)
     print(f"[trainer] mesh: {mesh.shape} on {jax.devices()[0].platform}")
 
     train_ds = dataset.get_train_ds(cfg["DATA_SEL"]["REDUCE_ITEMS_P"])
@@ -267,7 +287,11 @@ def trainer(cfg: Dict[str, Any], checkpoint_name: str) -> None:
     optimizer = build_optimizer(cfg, total_steps)
 
     params = init_params(cfg, model, mcfg)
-    state = TrainState(params=params, opt_state=optimizer.init(params),
+    # Optimizer state covers the 'params' collection only; BN batch_stats
+    # ride along in TrainState.params but are updated by the model, not
+    # the optimizer.
+    state = TrainState(params=params,
+                       opt_state=optimizer.init({"params": params["params"]}),
                        step=jnp.zeros([], jnp.int32))
 
     helper = ExperimentHelper(checkpoint_name, cfg)
@@ -334,7 +358,7 @@ def trainer(cfg: Dict[str, Any], checkpoint_name: str) -> None:
                               timer.items_per_sec(train_ds.bsz), ep)
             helper.log_scalar("throughput/step_ms", timer.step_ms, ep)
         if cfg["TRAIN"].get("SAVE_IMG") and sim is not None and len(sim):
-            helper.log_image("tr_sim_mtx", np.asarray(sim), ep)
+            helper.log_sim_images("tr_sim_mtx", np.asarray(sim), ep)
 
         # Validation (no specaug; TD-aug per VAL_* flags — reference :201-213)
         val_losses = []
@@ -346,7 +370,7 @@ def trainer(cfg: Dict[str, Any], checkpoint_name: str) -> None:
         val_loss = float(np.mean(val_losses)) if val_losses else float("nan")
         helper.log_scalar("loss/val", val_loss, ep)
         if cfg["TRAIN"].get("SAVE_IMG") and sim is not None and len(sim):
-            helper.log_image("val_sim_mtx", np.asarray(sim), ep)
+            helper.log_sim_images("val_sim_mtx", np.asarray(sim), ep)
         print(f"tr_loss:{tr_loss:.4f}, val_loss:{val_loss:.4f}")
 
         helper.save(ep, {"params": state.params,

@@ -126,8 +126,8 @@ def test_full_trainer_loop_and_resume(tiny_cfg, monkeypatch):
     # shrink the model inside trainer via get_fingerprinter monkeypatch
     monkeypatch.setattr(
         T, "get_fingerprinter",
-        lambda cfg: nnfp.FingerPrinter(norm="layer_norm2d",
-                                       dtype=jnp.float32, **SMALL_MODEL))
+        lambda cfg, bn_axis=None: nnfp.FingerPrinter(
+            norm="layer_norm2d", dtype=jnp.float32, **SMALL_MODEL))
     cfg = {k: (dict(v) if isinstance(v, dict) else v)
            for k, v in tiny_cfg.items()}
     T.trainer(cfg, "t_e2e")
@@ -146,6 +146,131 @@ def test_full_trainer_loop_and_resume(tiny_cfg, monkeypatch):
     import orbax.checkpoint as ocp
     mgr = ocp.CheckpointManager(os.path.abspath(ckpt_dir))
     assert mgr.latest_step() == 2
+
+
+def test_mesh_step_matches_single_device(tiny_cfg):
+    """With stochastic aug disabled, the 8-device sharded step must equal
+    the single-device step bit-for-tolerance — this pins the melspec
+    subtract-max pmax (the reference normalizes by the WHOLE batch max,
+    melspectrogram.py:107-109, so shards must agree globally)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from nafp_tpu.data.catalog import Dataset
+    from nafp_tpu.models import nnfp
+    from nafp_tpu.ops.melspec import get_melspec_fn
+    from nafp_tpu.ops.specaug import get_specaug_fn
+    from nafp_tpu.optim.schedules import build_optimizer
+    from nafp_tpu.parallel.mesh import make_data_mesh
+    from nafp_tpu.train import trainer as T
+
+    cfg = dict(tiny_cfg)
+    cfg["BSZ"] = dict(cfg["BSZ"], TR_BATCH_SZ=16, TR_N_ANCHOR=8)
+    cfg["SPEC_AUG"] = dict(cfg["SPEC_AUG"], SPECAUG_CHAIN=[])
+    melspec_fn, mcfg = get_melspec_fn(cfg)
+    specaug_fn = get_specaug_fn(cfg)
+    ds = Dataset(cfg).get_train_ds()
+    opt = build_optimizer(cfg, 100)
+    batch = ds[0]
+    model = nnfp.FingerPrinter(norm="layer_norm2d", dtype=jnp.float32,
+                               **SMALL_MODEL)
+
+    def run(n_dev):
+        params = T.init_params(cfg, model, mcfg)
+        state = T.TrainState(params, opt.init({"params": params["params"]}),
+                             jnp.zeros([], jnp.int32))
+        mesh = make_data_mesh(n_dev)
+        state = jax.device_put(state, NamedSharding(mesh, P()))
+        step = T.make_train_step(cfg, melspec_fn, specaug_fn, model, opt,
+                                 mesh, aug_keys=frozenset())
+        db = T._device_batch(batch, mesh)
+        state, loss, _ = step(state, db, jax.random.PRNGKey(0))
+        return float(loss)
+
+    np.testing.assert_allclose(run(1), run(8), rtol=2e-5)
+
+
+def test_batchnorm_training_cross_replica(tiny_cfg):
+    """BN training threads mutable batch_stats through the step; the
+    8-device mesh with cross-replica stat sync (nn.BatchNorm axis_name)
+    must reproduce the single-device math, and stats must move off init.
+    (The reference trains BN but never syncs stats across replicas —
+    its nnfp.py:178 warns of exactly that.)"""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from nafp_tpu.data.catalog import Dataset
+    from nafp_tpu.models import nnfp
+    from nafp_tpu.ops.melspec import get_melspec_fn
+    from nafp_tpu.ops.specaug import get_specaug_fn
+    from nafp_tpu.optim.schedules import build_optimizer
+    from nafp_tpu.parallel.mesh import make_data_mesh
+    from nafp_tpu.train import trainer as T
+
+    cfg = dict(tiny_cfg)
+    cfg["BSZ"] = dict(cfg["BSZ"], TR_BATCH_SZ=16, TR_N_ANCHOR=8)
+    cfg["MODEL"] = dict(cfg["MODEL"], BN="batch_norm")
+    # disable stochastic aug so 1-dev and 8-dev runs see identical inputs
+    cfg["SPEC_AUG"] = dict(cfg["SPEC_AUG"], SPECAUG_CHAIN=[])
+    melspec_fn, mcfg = get_melspec_fn(cfg)
+    specaug_fn = get_specaug_fn(cfg)
+    ds = Dataset(cfg).get_train_ds()
+    opt = build_optimizer(cfg, 100)
+    batch = ds[0]
+
+    def run(n_dev):
+        model = nnfp.FingerPrinter(norm="batch_norm", dtype=jnp.float32,
+                                   bn_axis="data" if n_dev > 1 else None,
+                                   **SMALL_MODEL)
+        params = T.init_params(cfg, model, mcfg)
+        assert "batch_stats" in params
+        # host copy: the step donates state, deleting the init buffers
+        init_stats = jax.tree_util.tree_map(np.asarray,
+                                            params["batch_stats"])
+        state = T.TrainState(params,
+                             opt.init({"params": params["params"]}),
+                             jnp.zeros([], jnp.int32))
+        mesh = make_data_mesh(n_dev)
+        state = jax.device_put(state, NamedSharding(mesh, P()))
+        step = T.make_train_step(cfg, melspec_fn, specaug_fn, model, opt,
+                                 mesh, aug_keys=frozenset())
+        db = T._device_batch(batch, mesh)
+        state, l0, _ = step(state, db, jax.random.PRNGKey(0))
+        state, l1, _ = step(state, db, jax.random.PRNGKey(1))
+        return state, float(l0), float(l1), init_stats
+
+    s1, l1a, l1b, init_stats = run(1)
+    s8, l8a, l8b, _ = run(8)
+    assert np.isfinite([l1a, l1b, l8a, l8b]).all()
+    # cross-replica == single-device
+    np.testing.assert_allclose(l1a, l8a, rtol=2e-4)
+    np.testing.assert_allclose(l1b, l8b, rtol=2e-3)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                                rtol=2e-3, atol=2e-5),
+        s1.params["batch_stats"], s8.params["batch_stats"])
+    # running stats must have moved off their init values
+    moved = jax.tree_util.tree_map(
+        lambda a, b: float(np.abs(np.asarray(a) - np.asarray(b)).max()),
+        s1.params["batch_stats"], init_stats)
+    assert max(jax.tree_util.tree_leaves(moved)) > 1e-6
+
+
+def test_full_trainer_loop_batchnorm(tiny_cfg, monkeypatch):
+    """trainer() end-to-end with MODEL.BN='batch_norm': batch_stats are
+    trained, checkpointed, and used by val/mini-search (frozen) paths."""
+    from nafp_tpu.models import nnfp
+    from nafp_tpu.train import trainer as T
+
+    monkeypatch.setattr(
+        T, "get_fingerprinter",
+        lambda cfg, bn_axis=None: nnfp.FingerPrinter(
+            norm="batch_norm", bn_axis=bn_axis, dtype=jnp.float32,
+            **SMALL_MODEL))
+    cfg = {k: (dict(v) if isinstance(v, dict) else v)
+           for k, v in tiny_cfg.items()}
+    cfg["MODEL"]["BN"] = "batch_norm"
+    T.trainer(cfg, "t_bn")
+    ckpt_dir = os.path.join(cfg["DIR"]["LOG_ROOT_DIR"], "checkpoint", "t_bn")
+    assert os.path.isdir(ckpt_dir)
 
 
 def test_train_step_lamb_multidevice(tiny_cfg):
