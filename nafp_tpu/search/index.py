@@ -436,14 +436,14 @@ class IVFSQ8Index:
         return np.concatenate(outs_d), np.concatenate(outs_i)
 
 
-@functools.partial(jax.jit, static_argnames=("k", "nprobe", "cap", "d"))
-def _ivfsq8_search_block(q, centroids, vecs8, scales, starts_arr, ids_arr,
-                         *, k, nprobe, cap, d):
-    nq = q.shape[0]
-    q_cent = jnp.dot(q, centroids.T, preferred_element_type=jnp.float32)
-    _, probes = jax.lax.top_k(q_cent, nprobe)           # (nq, nprobe)
-    qb = q.astype(jnp.bfloat16)
-    keep = min(2 * k, nprobe * cap)
+def _sq8_probe_scan(qb, probes, q_cent, vecs8, scales, starts_arr, ids_arr,
+                    *, nprobe, cap, d, keep):
+    """The IVF-SQ8 inner scan: stream the probed lists one at a time as
+    contiguous int8 slices feeding bf16 MXU matvecs, with a running top-keep
+    merge, then de-duplicate overlapping tail rescoring. Shared by the
+    single-device and mesh-sharded indexes (the latter calls it per shard
+    with its local arrays)."""
+    nq = qb.shape[0]
 
     def scan_probe(i, carry):
         best_v, best_i = carry
@@ -476,6 +476,19 @@ def _ivfsq8_search_block(q, centroids, vecs8, scales, starts_arr, ids_arr,
     dup = jnp.concatenate([jnp.zeros_like(bi[:, :1], bool),
                            bi[:, 1:] == bi[:, :-1]], axis=1)
     bv = jnp.where(dup | (bi < 0), -jnp.inf, bv)
+    return bv, bi
+
+
+@functools.partial(jax.jit, static_argnames=("k", "nprobe", "cap", "d"))
+def _ivfsq8_search_block(q, centroids, vecs8, scales, starts_arr, ids_arr,
+                         *, k, nprobe, cap, d):
+    nq = q.shape[0]
+    q_cent = jnp.dot(q, centroids.T, preferred_element_type=jnp.float32)
+    _, probes = jax.lax.top_k(q_cent, nprobe)           # (nq, nprobe)
+    keep = min(2 * k, nprobe * cap)
+    bv, bi = _sq8_probe_scan(q.astype(jnp.bfloat16), probes, q_cent, vecs8,
+                             scales, starts_arr, ids_arr,
+                             nprobe=nprobe, cap=cap, d=d, keep=keep)
     d2, sel = jax.lax.top_k(bv, k)
     ids = jnp.take_along_axis(bi, sel, axis=1)
     return d2, jnp.where(jnp.isfinite(d2), ids, -1)
@@ -504,6 +517,13 @@ def get_index(index_type: str, train_data: np.ndarray,
         return idx
     if t == "ivf-sq8":
         idx = IVFSQ8Index(d=d, nlist=256, nprobe=nprobe)
+        idx.train(train_data, max_train=max_train)
+        return idx
+    if t == "ivf-sq8-sharded":
+        # the scalable index with every inverted list row-sharded over the
+        # device mesh (capacity + per-probe compute scale with mesh size)
+        from nafp_tpu.search.sharded import ShardedIVFSQ8Index
+        idx = ShardedIVFSQ8Index(d=d, nlist=256, nprobe=nprobe)
         idx.train(train_data, max_train=max_train)
         return idx
     if t == "l2-sharded":

@@ -1,4 +1,4 @@
-"""Mesh-sharded exact search: the multi-chip flat index.
+"""Mesh-sharded search: the multi-chip flat and IVF-SQ8 indexes.
 
 The full-scale protocol (100k-song dummy DB ≈ 53.6 M fingerprints, 27 GB
 fp32) exceeds one chip's HBM. Here the DB rows are sharded over the
@@ -6,9 +6,15 @@ fp32) exceeds one chip's HBM. Here the DB rows are sharded over the
 its shard (matmul + local top-k), and a k-sized all-gather + merge yields
 exact global results — per-query ICI traffic is R*k entries, not the DB.
 
-This is the TPU-native counterpart of FAISS's GPU sharding
+``ShardedIVFSQ8Index`` applies the same merge to the scalable int8 index:
+each inverted list's rows are dealt round-robin over the R devices, so a
+probe scans ``ceil(cap/R)`` contiguous local rows per device — compute per
+probe shrinks by R no matter which lists the queries hit (a list-granular
+partition would idle devices whose lists aren't probed).
+
+These are the TPU-native counterparts of FAISS's GPU sharding
 (IndexShards/index_cpu_to_gpu_multiple); the reference itself never scaled
-past one GPU.
+past one GPU (eval/utils/get_index_faiss.py:100-103 clones to one device).
 """
 from __future__ import annotations
 
@@ -22,6 +28,8 @@ from jax import shard_map
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from nafp_tpu.parallel.mesh import make_data_mesh
+from nafp_tpu.search.index import (IVFSQ8Index, _sq8_probe_scan,
+                                   assign_to_centroids)
 
 
 class ShardedFlatIndex:
@@ -80,4 +88,120 @@ class ShardedFlatIndex:
             n = len(blk) - pad
             outs_d.append(np.asarray(v[:n]))
             outs_i.append(np.asarray(i[:n], np.int64))
+        return np.concatenate(outs_d), np.concatenate(outs_i)
+
+class ShardedIVFSQ8Index(IVFSQ8Index):
+    """IVF-SQ8 with every inverted list row-sharded over the device mesh.
+
+    Layout: within each coarse list, row j goes to device ``j % R``; each
+    device stores its share of every list contiguously (sorted by list),
+    padded to a common length. A search replicates the queries, each device
+    scans ``cap_local = ceil(cap/R)`` rows per probed list from its own
+    shard, takes a local top-k, and one k-sized ``all_gather`` + merge
+    yields the global result — identical candidate coverage to the
+    single-device index over the probed lists, with per-device scan work
+    cut by R.
+    """
+
+    def __init__(self, d: int = 128, nlist: int = 256, nprobe: int = 40,
+                 mesh: Optional[Mesh] = None):
+        super().__init__(d=d, nlist=nlist, nprobe=nprobe)
+        self.mesh = mesh or make_data_mesh()
+        self._search_jit = {}
+
+    def add(self, data: np.ndarray) -> None:
+        assert self._trained, "train() before add()"
+        data = np.asarray(data, np.float32)
+        R = self.mesh.size
+        nlist, d = self.nlist, self.d
+        assign = assign_to_centroids(data, self.centroids)
+        order = np.argsort(assign, kind="stable")
+        sorted_data = data[order]
+        sorted_assign = assign[order]
+        counts = np.bincount(assign, minlength=nlist)
+        starts_g = np.concatenate([[0], np.cumsum(counts)[:-1]])
+        pos_in_list = np.arange(len(data)) - starts_g[sorted_assign]
+        dev_of_row = (pos_in_list % R).astype(np.int32)
+
+        cap_global = int(max(1, counts.max()))
+        self.list_cap = (cap_global + R - 1) // R  # per-device slice length
+
+        # rows of list l on device r: count = |{x in [0,counts[l]) : x%R==r}|
+        local_counts = np.stack(
+            [np.maximum(counts - r + R - 1, 0) // R for r in range(R)])
+
+        scales_all = np.maximum(np.abs(sorted_data).max(axis=1),
+                                1e-12) / 127.0
+        q8_all = np.clip(np.round(sorted_data / scales_all[:, None]),
+                         -127, 127).astype(np.int8)
+
+        l_max = int(local_counts.sum(axis=1).max()) + self.list_cap
+        vecs8 = np.zeros((R, l_max, d), np.int8)
+        scales = np.zeros((R, l_max), np.float32)
+        ids = np.full((R, l_max), -1, np.int32)
+        starts = np.zeros((R, nlist), np.int32)
+        for r in range(R):
+            sel = dev_of_row == r          # already in (list, pos) order
+            nr = int(sel.sum())
+            vecs8[r, :nr] = q8_all[sel]
+            scales[r, :nr] = scales_all[sel].astype(np.float32)
+            ids[r, :nr] = order[sel].astype(np.int32)
+            starts[r] = np.concatenate(
+                [[0], np.cumsum(local_counts[r])[:-1]]).astype(np.int32)
+
+        put = lambda a: jax.device_put(jnp.asarray(a),
+                                       NamedSharding(self.mesh, P("data")))
+        self.vecs8 = put(vecs8)
+        self.scales = put(scales)
+        self.ids = put(ids)
+        self.starts = put(starts)
+        self.centroids = jax.device_put(self.centroids,
+                                        NamedSharding(self.mesh, P()))
+        self.ntotal = len(data)
+
+    def _build(self, k: int):
+        nprobe, cap, d = self.nprobe, self.list_cap, self.d
+
+        def local(q, centroids, vecs8, scales, ids, starts):
+            vecs8, scales = vecs8[0], scales[0]   # drop unit shard axis
+            ids, starts = ids[0], starts[0]
+            q_cent = jnp.dot(q, centroids.T,
+                             preferred_element_type=jnp.float32)
+            _, probes = jax.lax.top_k(q_cent, nprobe)
+            keep = min(2 * k, nprobe * cap)
+            bv, bi = _sq8_probe_scan(q.astype(jnp.bfloat16), probes, q_cent,
+                                     vecs8, scales, starts, ids,
+                                     nprobe=nprobe, cap=cap, d=d, keep=keep)
+            kk = min(k, keep)
+            v, sel = jax.lax.top_k(bv, kk)
+            i = jnp.take_along_axis(bi, sel, axis=1)
+            v_all = jax.lax.all_gather(v, "data", axis=1, tiled=True)
+            i_all = jax.lax.all_gather(i, "data", axis=1, tiled=True)
+            vv, s2 = jax.lax.top_k(v_all, min(k, v_all.shape[1]))
+            ii = jnp.take_along_axis(i_all, s2, axis=1)
+            return vv, jnp.where(jnp.isfinite(vv), ii, -1)
+
+        fn = shard_map(local, mesh=self.mesh,
+                       in_specs=(P(), P(), P("data"), P("data"), P("data"),
+                                 P("data")),
+                       out_specs=(P(), P()), check_vma=False)
+        return jax.jit(fn)
+
+    def search(self, q: np.ndarray, k: int,
+               block: int = 64) -> Tuple[np.ndarray, np.ndarray]:
+        if k not in self._search_jit:
+            self._search_jit[k] = self._build(k)
+        fn = self._search_jit[k]
+        q = np.asarray(q, np.float32)
+        outs_d, outs_i = [], []
+        for s in range(0, len(q), block):
+            blk = q[s:s + block]
+            pad = block - len(blk) if len(blk) < block and len(q) > block else 0
+            if pad:
+                blk = np.pad(blk, ((0, pad), (0, 0)))
+            v, i = fn(jnp.asarray(blk), self.centroids, self.vecs8,
+                      self.scales, self.ids, self.starts)
+            n = len(blk) - pad
+            outs_d.append(np.asarray(v[:n]))
+            outs_i.append(np.asarray(i[:n]))
         return np.concatenate(outs_d), np.concatenate(outs_i)

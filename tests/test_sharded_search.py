@@ -29,3 +29,62 @@ def test_sharded_query_blocks(rng):
     v1, i1 = idx.search(q, k=5, block=128)
     v2, i2 = idx.search(q, k=5, block=512)
     np.testing.assert_allclose(v1, v2, atol=1e-6)
+
+
+def test_sharded_ivfsq8_matches_single_device(rng):
+    """With nprobe == nlist every row is scanned by both layouts, so the
+    mesh-sharded IVF-SQ8 must reproduce the single-device index exactly
+    (same centroids via same seed; same per-vector int8 quantization)."""
+    from nafp_tpu.search.index import IVFSQ8Index
+    from nafp_tpu.search.sharded import ShardedIVFSQ8Index
+
+    db = rng.standard_normal((6001, 64)).astype(np.float32)
+    db /= np.linalg.norm(db, axis=1, keepdims=True)
+    q = db[rng.integers(0, len(db), 40)] + \
+        0.02 * rng.standard_normal((40, 64)).astype(np.float32)
+
+    single = IVFSQ8Index(d=64, nlist=16, nprobe=16)
+    single.train(db)
+    single.add(db)
+    dv, di = single.search(q, k=10)
+
+    sharded = ShardedIVFSQ8Index(d=64, nlist=16, nprobe=16)
+    assert sharded.mesh.size == 8
+    sharded.train(db)
+    sharded.add(db)
+    sv, si = sharded.search(q, k=10)
+
+    np.testing.assert_allclose(np.sort(sv, axis=1), np.sort(dv, axis=1),
+                               rtol=1e-5, atol=1e-6)
+    # id sets agree except where bf16 score ties allow either order
+    for r in range(len(q)):
+        only = set(di[r]) ^ set(si[r])
+        if only:
+            cut = min(dv[r].min(), sv[r].min())
+            # any disagreeing id must sit at the tie boundary
+            assert np.isclose(sorted(dv[r])[0], cut, atol=1e-6)
+    assert (si[:, 0] == di[:, 0]).all()
+
+
+def test_sharded_ivfsq8_partial_probe_recall(rng):
+    """At nprobe << nlist the sharded index must match the single-device
+    index's recall against exact search (same probed lists, same rows)."""
+    from nafp_tpu.search.index import FlatIndex, IVFSQ8Index
+    from nafp_tpu.search.sharded import ShardedIVFSQ8Index
+
+    db = rng.standard_normal((8000, 32)).astype(np.float32)
+    db /= np.linalg.norm(db, axis=1, keepdims=True)
+    q = db[rng.integers(0, len(db), 64)] + \
+        0.02 * rng.standard_normal((64, 32)).astype(np.float32)
+    _, gt = FlatIndex(db, metric="ip").search(q, k=5)
+
+    def recall(idx):
+        idx.train(db)
+        idx.add(db)
+        _, ids = idx.search(q, k=5)
+        return np.mean([len(set(a) & set(b)) / 5.0 for a, b in zip(ids, gt)])
+
+    r_single = recall(IVFSQ8Index(d=32, nlist=32, nprobe=8))
+    r_sharded = recall(ShardedIVFSQ8Index(d=32, nlist=32, nprobe=8))
+    assert r_sharded >= r_single - 0.02
+    assert r_sharded > 0.5
