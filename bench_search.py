@@ -25,6 +25,8 @@ def main():
     ap.add_argument("--k", type=int, default=20)
     ap.add_argument("--index", default="ip")
     ap.add_argument("--d", type=int, default=128)
+    ap.add_argument("--recall", action="store_true",
+                    help="also report recall@k of the true top-1 vs exact")
     args = ap.parse_args()
 
     rng = np.random.default_rng(0)
@@ -68,6 +70,13 @@ def main():
     t0 = time.perf_counter()
     _, ids = index.search(q, args.k)
     dt = time.perf_counter() - t0
+
+    recall = None
+    if args.recall:
+        from nafp_tpu.search.index import FlatIndex
+        _, gt = FlatIndex(db, metric="ip").search(q, 1)
+        recall = float(np.mean([gt[i, 0] in ids[i] for i in range(len(q))]))
+
     print(json.dumps({
         "metric": "search_qps",
         "index": args.index,
@@ -76,6 +85,7 @@ def main():
         "unit": "queries/sec",
         "build_sec": round(build_s, 2),
         "ms_per_query_batch": round(1000 * dt, 1),
+        **({"recall_at_k": round(recall, 4)} if recall is not None else {}),
     }))
 
 

@@ -177,18 +177,37 @@ def kmeans(data: jax.Array, k: int, iters: int = 10,
 # IVF-PQ
 # ---------------------------------------------------------------------------
 class IVFPQIndex:
-    """IVF-PQ with asymmetric-distance scan, built for inner-product ranking
-    of L2-normalized fingerprints.
+    """IVF-PQ re-designed for the MXU: decode-and-matmul instead of ADC
+    lookup tables.
 
-    Layout: DB vectors sorted by coarse-list id; PQ codes of the *residual*
-    (x - centroid) like FAISS IVFPQ. Scan of a probed list scores
-    sim(q, x) ≈ q·c + Σ_m LUT_m[code_m] with LUT_m = q_m · codebook_m.
-    Lists are stored padded to a static cap so probing is jittable.
+    FAISS scans PQ codes with per-query LUT lookups (asymmetric distance,
+    ``q·c + Σ_m LUT_m[code_m]``) — a per-element gather per (query, row,
+    subquantizer) that is hostile to TPUs (measured 3.2 QPS at 2 M rows in
+    round 1). The observation: the identical score is ``q · decode(x)``
+    with ``decode(x) = c + Σ_m codebook_m[code_m]``, and decoding is
+    *shared across every query in the block*. So the search decodes code
+    tiles once (one-hot × codebook einsums — pure MXU work, amortized over
+    the query block), scores them with a plain ``Q @ decodedᵀ`` matmul,
+    and enforces the IVF probe set with an additive 0/−inf bias per
+    (query, subtile) — each LIST_TILE-row subtile belongs to exactly one
+    inverted list by construction. On TPU the decode feeds the fused
+    Pallas top-k kernel (``pallas_topk.topk_ip_pallas_masked``) so the
+    (Bq, N) score matrix never exists; elsewhere an XLA top_k fallback
+    runs the same math.
 
-    refine_with (ivfpq-rr): keep the raw vectors and rescore the top
-    candidates exactly, like FAISS IndexIVFPQR's refinement stage
-    (get_index_faiss.py:77-83) — here exact f32 instead of a 4-bit PQ.
+    Storage stays at PQ compression: codes (N, m=64) uint8 = 64 B/vector
+    with the reference's parameters (nlist 256, 64×8-bit subquantizers,
+    nprobe 40; ``get_index_faiss.py:69-74,120``); decoded tiles are
+    transient.
+
+    refine (ivfpq-rr): keep the raw vectors and rescore the top candidates
+    exactly, like FAISS IndexIVFPQR's refinement stage
+    (``get_index_faiss.py:77-83``) — here exact f32 instead of 4-bit PQ.
     """
+
+    LIST_TILE = 128   # rows per single-list subtile (probe-mask granularity)
+    BLK = 1024        # pallas kernel DB tile (multiple of LIST_TILE; the
+                      # kernel wants BLK % 1024 == 0 and BLK/LIST_TILE % 8 == 0)
 
     def __init__(self, d: int = 128, nlist: int = 256, m: int = 64,
                  nbits: int = 8, nprobe: int = 40, refine: bool = False):
@@ -203,15 +222,18 @@ class IVFPQIndex:
     # -- train -------------------------------------------------------------
     def train(self, data: np.ndarray, max_train: int = int(1e7),
               kmeans_iters: int = 10, seed: int = 0) -> None:
-        data = np.asarray(data, np.float32)
         if len(data) < self.nlist * 4:
             raise ValueError(
                 f"IVF-PQ needs >= {self.nlist * 4} training vectors for "
                 f"nlist={self.nlist} (got {len(data)}); use the exact 'l2'/"
                 "'ip' index for small databases")
+        # subsample BEFORE full conversion (data may be a disk memmap)
         if len(data) > max_train:
-            sel = np.random.default_rng(seed).permutation(len(data))[:max_train]
-            data = data[sel]
+            sel = np.sort(np.random.default_rng(seed)
+                          .permutation(len(data))[:max_train])
+            data = np.asarray(data[sel], np.float32)
+        else:
+            data = np.asarray(data, np.float32)
         x = jnp.asarray(data)
         self.centroids = kmeans(x, self.nlist, iters=kmeans_iters,
                                 key=jax.random.PRNGKey(seed))   # (nlist, d)
@@ -232,12 +254,18 @@ class IVFPQIndex:
 
     # -- add ---------------------------------------------------------------
     def add(self, data: np.ndarray) -> None:
-        """Encode and store (single-shot add; extend-in-place unsupported)."""
+        """Encode and store (single-shot add; extend-in-place unsupported).
+
+        Layout: rows sorted by coarse list, each list padded to a multiple
+        of LIST_TILE rows (pad rows carry id −1), total padded to a
+        multiple of BLK — so every LIST_TILE-row subtile belongs to exactly
+        one list and the probe mask is a per-subtile bias.
+        """
         assert self._trained, "train() before add()"
         data = np.asarray(data, np.float32)
+        lt = self.LIST_TILE
         assign = self._assign_np(data)
         order = np.argsort(assign, kind="stable")
-        sorted_ids = order.astype(np.int32)
         sorted_assign = assign[order]
         resid = data[order] - np.asarray(self.centroids)[sorted_assign]
 
@@ -249,19 +277,26 @@ class IVFPQIndex:
                 enc(jnp.asarray(resid[s:s + 65536])))
 
         counts = np.bincount(sorted_assign, minlength=self.nlist)
-        starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
-        cap = int(max(1, counts.max()))
-        # padded list layout: (nlist, cap) of row positions, -1 = pad
-        lists = np.full((self.nlist, cap), -1, np.int32)
+        padded = np.maximum((counts + lt - 1) // lt, 1) * lt
+        n_pad = int(padded.sum())
+        n_pad += (-n_pad) % self.BLK            # filler subtiles at the end
+        starts_p = np.concatenate([[0], np.cumsum(padded)[:-1]])
+        starts_u = np.concatenate([[0], np.cumsum(counts)[:-1]])
+
+        codes_pad = np.zeros((n_pad, self.m), np.uint8)
+        ids_pad = np.full(n_pad, -1, np.int32)
+        sub_list = np.full(n_pad // lt, -1, np.int32)
         for li in range(self.nlist):
-            lists[li, :counts[li]] = np.arange(starts[li],
-                                               starts[li] + counts[li])
-        self.list_cap = cap
-        self.lists = jnp.asarray(lists)
-        self.codes = jnp.asarray(codes)                 # (N, m) uint8
-        self.ids = jnp.asarray(sorted_ids)              # row -> original id
-        self.list_of_row = jnp.asarray(sorted_assign)   # row -> list id
-        self.raw = jnp.asarray(data[order]) if self.refine else None
+            c, sp = counts[li], starts_p[li]
+            codes_pad[sp:sp + c] = codes[starts_u[li]:starts_u[li] + c]
+            ids_pad[sp:sp + c] = order[starts_u[li]:starts_u[li] + c]
+            sub_list[sp // lt:(sp + padded[li]) // lt] = li
+
+        self.codes = jnp.asarray(codes_pad)          # (N_pad, m) uint8
+        self.ids = jnp.asarray(ids_pad)              # row -> original id
+        self.sub_list = jnp.asarray(sub_list)        # subtile -> list id
+        self.raw = jnp.asarray(data) if self.refine else None
+        self.n_pad = n_pad
         self.ntotal = len(data)
 
     def _encode_block(self, resid: jax.Array) -> jax.Array:
@@ -272,86 +307,131 @@ class IVFPQIndex:
         return jnp.argmax(sim, axis=-1).astype(jnp.uint8)
 
     # -- search ------------------------------------------------------------
-    def _search_block(self, q: jax.Array, k: int):
-        return _ivfpq_search_block(
-            q, self.centroids, self.codebooks, self.lists, self.codes,
-            self.ids, self.raw if self.refine else None,
-            k=k, nprobe=self.nprobe, m=self.m, dsub=self.dsub,
-            cap=self.list_cap, refine=self.refine)
+    def _decode_chunk(self, codes: jax.Array, sub_list: jax.Array):
+        """Decode a code chunk to bf16 vectors: one-hot × codebook einsum
+        (MXU) + coarse centroid per subtile. Shared across the query block."""
+        return _pq_decode_chunk(codes, sub_list, self.codebooks,
+                                self.centroids, lt=self.LIST_TILE)
 
     def search(self, q: np.ndarray, k: int,
-               block: int = 256) -> Tuple[np.ndarray, np.ndarray]:
+               block: int = 512) -> Tuple[np.ndarray, np.ndarray]:
         q = np.asarray(q, np.float32)
-        # Cap the query block so the per-probe gather intermediates
-        # (block x list_cap x m int32) stay within a ~32M-element budget;
-        # oversized blocks fault the TPU worker at multi-million-row scale
-        # (measured: block 256 crashes at 2M rows / cap 8180, 64 works).
-        if getattr(self, "list_cap", 0):
-            budget = (1 << 25) // max(1, self.list_cap * self.m)
-            block = int(np.clip(budget, 16, block))
+        lt = self.LIST_TILE
+        # chunk rows so the transient decoded bf16 chunk stays ~512 MB
+        chunk = min(self.n_pad, (1 << 21))
+        chunk -= chunk % self.BLK
+        use_pallas = jax.default_backend() == "tpu"
+        keep = min(4 * k if self.refine else k, self.n_pad)
         outs_d, outs_i = [], []
         for s in range(0, len(q), block):
             blk = q[s:s + block]
             pad = block - len(blk) if len(blk) < block and len(q) > block else 0
+            if use_pallas:
+                # the kernel's transposed bias wants Bq % 128 == 0
+                pad = max(pad, (-len(blk)) % 128)
             if pad:
                 blk = np.pad(blk, ((0, pad), (0, 0)))
-            d, ids = self._search_block(jnp.asarray(blk), k)
+            qd = jnp.asarray(blk)
+            bias = _pq_probe_bias(qd, self.centroids, self.sub_list,
+                                  nprobe=self.nprobe)       # (nq, n_sub)
+            best_v = jnp.full((len(blk), keep), -jnp.inf)
+            best_i = jnp.full((len(blk), keep), -1, jnp.int32)
+            for cs in range(0, self.n_pad, chunk):
+                ce = min(cs + chunk, self.n_pad)
+                dec = self._decode_chunk(
+                    jax.lax.dynamic_slice_in_dim(self.codes, cs, ce - cs),
+                    jax.lax.dynamic_slice_in_dim(self.sub_list, cs // lt,
+                                                 (ce - cs) // lt))
+                ids_c = jax.lax.dynamic_slice_in_dim(self.ids, cs, ce - cs)
+                bias_c = jax.lax.dynamic_slice_in_dim(
+                    bias, cs // lt, (ce - cs) // lt, axis=1)
+                if use_pallas:
+                    from nafp_tpu.search.pallas_topk import \
+                        topk_ip_pallas_masked
+                    v, i = topk_ip_pallas_masked(
+                        qd.astype(jnp.bfloat16), dec, ids_c, bias_c,
+                        k=keep, blk=self.BLK, list_tile=lt)
+                else:
+                    v, i = _pq_score_chunk_xla(qd, dec, ids_c, bias_c,
+                                               k=keep, lt=lt)
+                best_v, best_i = _merge_topk(best_v, best_i, v, i)
+            if self.refine:
+                best_v, best_i = _pq_refine(qd, self.raw, best_v, best_i,
+                                            k=k)
+            else:
+                best_v, best_i = best_v[:, :k], best_i[:, :k]
             n = len(blk) - pad
-            outs_d.append(np.asarray(d[:n]))
-            outs_i.append(np.asarray(ids[:n]))
+            outs_d.append(np.asarray(best_v[:n]))
+            outs_i.append(np.asarray(best_i[:n]))
         return np.concatenate(outs_d), np.concatenate(outs_i)
 
 
-@functools.partial(jax.jit, static_argnames=("k", "nprobe", "m", "dsub",
-                                             "cap", "refine"))
-def _ivfpq_search_block(q, centroids, codebooks, lists, codes_arr, ids_arr,
-                        raw, *, k, nprobe, m, dsub, cap, refine):
-    """ADC scan streamed one probed list at a time with a running top-k
-    merge: peak memory is O(nq * cap), independent of nprobe. (A one-shot
-    gather of all probed codes was a >30 GB allocation at 2M rows.)"""
-    nq = q.shape[0]
-    # 1. coarse probe: top-nprobe centroids by inner product
-    q_cent = jnp.dot(q, centroids.T,
-                     preferred_element_type=jnp.float32)  # (nq, nlist)
-    _, probes = jax.lax.top_k(q_cent, nprobe)             # (nq, nprobe)
-    lut = jnp.einsum("nmd,mkd->nmk", q.reshape(nq, m, dsub),
-                     codebooks,
-                     preferred_element_type=jnp.float32)  # (nq, m, ksub)
-    keep = max(k, 4 * k if refine else k)
-    keep = min(keep, nprobe * cap)
+@functools.partial(jax.jit, static_argnames=("lt",))
+def _pq_decode_chunk(codes, sub_list, codebooks, centroids, *, lt):
+    """decode(x) = centroid[list] + Σ_m codebook_m[code_m], as one-hot
+    matmuls (no gathers): codes (C, m) uint8 -> (C, d) bf16."""
+    c, m = codes.shape
+    ksub, dsub = codebooks.shape[1], codebooks.shape[2]
+    # bf16 one-hot on TPU (native MXU mode); CPU XLA's DotThunk lacks
+    # bf16 x bf16 -> f32, so tests run the einsum in f32
+    cdt = jnp.bfloat16 if jax.default_backend() == "tpu" else jnp.float32
+    oh = jax.nn.one_hot(codes.astype(jnp.int32), ksub,
+                        dtype=cdt)                           # (C, m, ksub)
+    resid = jnp.einsum("nmk,mkd->nmd", oh, codebooks.astype(cdt),
+                       preferred_element_type=jnp.float32)   # (C, m, dsub)
+    dec = resid.reshape(c, m * dsub)
+    coarse = centroids[jnp.maximum(sub_list, 0)]             # (C//lt, d)
+    dec = dec + jnp.repeat(coarse, lt, axis=0)
+    return dec.astype(jnp.bfloat16)
 
-    def scan_probe(i, carry):
-        best_v, best_r = carry
-        p = jax.lax.dynamic_slice(probes, (0, i), (nq, 1))  # (nq, 1)
-        rows = lists[p[:, 0]]                               # (nq, cap)
-        valid = rows >= 0
-        rows_safe = jnp.maximum(rows, 0)
-        codes = codes_arr[rows_safe].astype(jnp.int32)      # (nq,cap,m)
-        resid = jnp.take_along_axis(
-            lut[:, None], codes[..., None], axis=-1)[..., 0].sum(-1)
-        coarse = jnp.take_along_axis(q_cent, p, axis=1)     # (nq, 1)
-        score = jnp.where(valid, coarse + resid, -jnp.inf)  # (nq, cap)
-        all_v = jnp.concatenate([best_v, score], axis=1)
-        all_r = jnp.concatenate([best_r, rows_safe], axis=1)
-        best_v, sel = jax.lax.top_k(all_v, keep)
-        best_r = jnp.take_along_axis(all_r, sel, axis=1)
-        return best_v, best_r
 
-    init = (jnp.full((nq, keep), -jnp.inf),
-            jnp.zeros((nq, keep), jnp.int32))
-    best_v, best_r = jax.lax.fori_loop(0, nprobe, scan_probe, init)
+@functools.partial(jax.jit, static_argnames=("nprobe",))
+def _pq_probe_bias(q, centroids, sub_list, *, nprobe):
+    """0 / −inf additive bias per (query, subtile) from the coarse probe."""
+    from nafp_tpu.search.pallas_topk import NEG
+    q_cent = jnp.dot(q, centroids.T, preferred_element_type=jnp.float32)
+    _, probes = jax.lax.top_k(q_cent, nprobe)                # (nq, nprobe)
+    probed = jnp.sum(jax.nn.one_hot(probes, centroids.shape[0],
+                                    dtype=jnp.float32), axis=1)  # (nq,nlist)
+    bias_list = jnp.where(probed > 0, 0.0, NEG)              # (nq, nlist)
+    # subtile -> its list's bias; filler subtiles (list -1) get NEG
+    b = jnp.take(bias_list, jnp.maximum(sub_list, 0), axis=1)
+    return jnp.where(sub_list[None, :] < 0, NEG, b)
 
-    if refine and raw is not None:
-        # exact rescore of the PQ top-(4k) shortlist
-        vecs = raw[best_r]                        # (nq, keep, d)
-        exact = jnp.einsum("nd,nkd->nk", q, vecs,
-                           preferred_element_type=jnp.float32)
-        exact = jnp.where(jnp.isfinite(best_v), exact, -jnp.inf)
-        d2, sel = jax.lax.top_k(exact, k)
-        ids = jnp.take_along_axis(ids_arr[best_r], sel, axis=1)
-        return d2, jnp.where(jnp.isfinite(d2), ids, -1)
-    d2 = best_v[:, :k]
-    ids = ids_arr[best_r[:, :k]]
+
+@functools.partial(jax.jit, static_argnames=("k", "lt"))
+def _pq_score_chunk_xla(q, dec, ids, bias, *, k, lt):
+    """XLA fallback for the masked scored top-k (CPU tests / non-TPU)."""
+    from nafp_tpu.search.pallas_topk import NEG
+    sim = jnp.dot(q, dec.T.astype(jnp.float32),
+                  preferred_element_type=jnp.float32)
+    sim = sim + jnp.repeat(bias, lt, axis=1)
+    sim = jnp.where(ids[None, :] < 0, NEG, sim)
+    v, pos = jax.lax.top_k(sim, min(k, sim.shape[1]))
+    i = jnp.take(ids, pos)
+    if v.shape[1] < k:
+        v = jnp.pad(v, ((0, 0), (0, k - v.shape[1])), constant_values=NEG)
+        i = jnp.pad(i, ((0, 0), (0, k - i.shape[1])), constant_values=-1)
+    return v, jnp.where(v <= NEG / 2, -1, i)
+
+
+@jax.jit
+def _merge_topk(best_v, best_i, v, i):
+    all_v = jnp.concatenate([best_v, v], axis=1)
+    all_i = jnp.concatenate([best_i, i], axis=1)
+    nv, sel = jax.lax.top_k(all_v, best_v.shape[1])
+    return nv, jnp.take_along_axis(all_i, sel, axis=1)
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def _pq_refine(q, raw, best_v, best_i, *, k):
+    """Exact rescore of the PQ shortlist with the raw vectors (ivfpq-rr)."""
+    vecs = raw[jnp.maximum(best_i, 0)]                       # (nq, keep, d)
+    exact = jnp.einsum("nd,nkd->nk", q, vecs,
+                       preferred_element_type=jnp.float32)
+    exact = jnp.where(best_i >= 0, exact, -jnp.inf)
+    d2, sel = jax.lax.top_k(exact, k)
+    ids = jnp.take_along_axis(best_i, sel, axis=1)
     return d2, jnp.where(jnp.isfinite(d2), ids, -1)
 
 
@@ -382,38 +462,65 @@ class IVFSQ8Index:
 
     def train(self, data: np.ndarray, max_train: int = int(1e7),
               kmeans_iters: int = 10, seed: int = 0) -> None:
-        data = np.asarray(data, np.float32)
+        # subsample BEFORE any full-array conversion: `data` may be a
+        # disk memmap at the 100x-protocol scale (27 GB f32)
         if len(data) > max_train:
-            sel = np.random.default_rng(seed).permutation(len(data))[:max_train]
-            data = data[sel]
+            sel = np.sort(np.random.default_rng(seed)
+                          .permutation(len(data))[:max_train])
+            data = np.asarray(data[sel], np.float32)
+        else:
+            data = np.asarray(data, np.float32)
         self.centroids = kmeans(jnp.asarray(data), self.nlist,
                                 iters=kmeans_iters,
                                 key=jax.random.PRNGKey(seed))
         self._trained = True
 
-    def add(self, data: np.ndarray) -> None:
+    def add(self, data, block: int = 1 << 20) -> None:
+        """Quantize + list-sort the DB into the device store.
+
+        Streams ``data`` block-by-block (accepts a disk memmap: no second
+        full-size f32 host copy is ever made — the only O(N) host buffers
+        are the int8 store itself plus f32 scales / int32 ids, ~56 B/row
+        at d=128 vs 512 B/row for a sorted f32 copy).
+        """
         assert self._trained, "train() before add()"
-        data = np.asarray(data, np.float32)
-        assign = assign_to_centroids(data, self.centroids)
-        order = np.argsort(assign, kind="stable")
-        sorted_data = data[order]
+        n = len(data)
+        # pass 1: coarse assignment, streamed off the source
+        assign = np.empty(n, np.int32)
+        for s in range(0, n, block):
+            assign[s:s + block] = assign_to_centroids(
+                np.asarray(data[s:s + block], np.float32), self.centroids)
         counts = np.bincount(assign, minlength=self.nlist)
         self.list_cap = int(max(1, counts.max()))
         starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
 
-        scales = np.maximum(np.abs(sorted_data).max(axis=1), 1e-12) / 127.0
-        q8 = np.clip(np.round(sorted_data / scales[:, None]),
-                     -127, 127).astype(np.int8)
-        # pad the tail so a slice at the last list start is in-bounds
+        # pass 2: quantize blocks and scatter rows to their sorted slots
         pad = self.list_cap
-        self.vecs8 = jnp.asarray(np.concatenate(
-            [q8, np.zeros((pad, self.d), np.int8)]))
-        self.scales = jnp.asarray(np.concatenate(
-            [scales.astype(np.float32), np.zeros(pad, np.float32)]))
+        q8 = np.zeros((n + pad, self.d), np.int8)
+        scales = np.zeros(n + pad, np.float32)
+        ids = np.full(n + pad, -1, np.int32)
+        fill = starts.copy()
+        for s in range(0, n, block):
+            x = np.asarray(data[s:s + block], np.float32)
+            a = assign[s:s + block]
+            idx = np.argsort(a, kind="stable")
+            a_sorted = a[idx]
+            cnt = np.bincount(a_sorted, minlength=self.nlist)
+            grp_start = np.concatenate([[0], np.cumsum(cnt)[:-1]])
+            rank = np.arange(len(a)) - grp_start[a_sorted]
+            pos = fill[a_sorted] + rank
+            xs = x[idx]
+            sc = np.maximum(np.abs(xs).max(axis=1), 1e-12) / 127.0
+            q8[pos] = np.clip(np.round(xs / sc[:, None]), -127,
+                              127).astype(np.int8)
+            scales[pos] = sc.astype(np.float32)
+            ids[pos] = (s + idx).astype(np.int32)
+            fill += cnt
+        self.vecs8 = jnp.asarray(q8)
+        self.scales = jnp.asarray(scales)
         self.starts = jnp.asarray(starts.astype(np.int32))
-        self.ids = jnp.asarray(np.concatenate(
-            [order.astype(np.int32), np.full(pad, -1, np.int32)]))
-        self.ntotal = len(data)
+        self.ids = jnp.asarray(ids)
+        self.ntotal = n
 
     def _search_block(self, q: jax.Array, k: int):
         return _ivfsq8_search_block(

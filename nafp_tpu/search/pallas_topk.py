@@ -1,19 +1,36 @@
-"""Fused similarity + top-k Pallas kernel for flat search.
+"""Fused similarity + top-k Pallas kernel for flat and decoded-PQ search.
 
 The XLA flat path (``FlatIndex``) computes ``Q @ DBᵀ`` then ``lax.top_k``,
 which materializes the (Bq, N) similarity matrix in HBM — at retrieval
-scale (N ≈ 0.6 M, Bq ≈ 2 K) that is gigabytes of HBM traffic dwarfing the
-matmul itself. This kernel streams DB row-blocks through VMEM, does the
-(Bq, BLK) matmul on the MXU, and maintains a running per-query top-k in a
-VMEM scratch — the full similarity matrix never exists.
+scale (N ≈ 0.6-53 M, Bq ≈ 0.5-2 K) that is gigabytes of HBM traffic
+dwarfing the matmul itself. This kernel streams DB row-blocks through
+VMEM, does the (Bq, BLK) matmul on the MXU, and maintains a running
+per-query top-k in a VMEM scratch — the full similarity matrix never
+exists.
 
-Mosaic has no ``top_k`` primitive (checked), so selection is k rounds of
-(max, argmax, mask) on the VPU per block: k·O(Bq·BLK) element ops against
-the matmul's O(Bq·BLK·d) MACs — selection stays off the critical path for
-d = 128.
+Selection strategy (v2): Mosaic has no ``top_k`` primitive, and the v1
+kernel ran k rounds of (max, argmax, mask) over every tile — ~10·k VPU ops
+per element, which lost to XLA below ~1 M rows. v2 exploits that once the
+running set is warm, almost no tile contributes: each tile is first
+*filtered* against the per-row current worst (2 VPU passes), then a
+``while_loop`` runs (max, argmax, insert, mask) rounds only while any
+filtered candidate remains. Expected insertions over a whole scan are
+k·H(n_tiles) ≈ k·ln(n_tiles) total (random row order), so the per-element
+cost collapses to ~3 VPU ops, leaving the MXU matmul dominant.
 
-Inner-product metric only (fingerprints are L2-normalized, so IP ranking ==
-L2 ranking; reference uses IndexFlatL2, get_index_faiss.py:57).
+Masking plumbing (Mosaic block shapes must be (8, 128)-tiled):
+  - per-ROW validity rides as an additive f32 mask shaped
+    ``(N/128, 128)`` — each DB tile reads a ``(blk/128, 128)`` block and
+    adds row t's 128 lanes onto the matching column range;
+  - the per-(query, subtile) probe bias (IVF-PQ) arrives TRANSPOSED as
+    ``(n_subtiles, Bq)`` and is expanded to (Bq, blk) inside the kernel by
+    one tiny MXU contraction against an iota-built 0/1 expansion matrix —
+    no (Bq, sub) block ever exists.
+  - the kernel reports *positions* (row indices into the scanned array);
+    wrappers map positions to caller ids outside.
+
+Inner-product metric only (fingerprints are L2-normalized, so IP ranking
+== L2 ranking; reference uses IndexFlatL2, get_index_faiss.py:57).
 """
 from __future__ import annotations
 
@@ -28,8 +45,8 @@ from jax.experimental.pallas import tpu as pltpu
 NEG = -1e30
 
 
-def _kernel(q_ref, db_ref, out_v_ref, out_i_ref, best_v, best_i, *, k: int,
-            blk: int, n: int):
+def _kernel_body(q_ref, db_ref, rmask_ref, bias_ref, out_v_ref, out_i_ref,
+                 best_v, best_i, *, k: int, blk: int, lt: int):
     j = pl.program_id(0)
     n_blocks = pl.num_programs(0)
 
@@ -40,32 +57,55 @@ def _kernel(q_ref, db_ref, out_v_ref, out_i_ref, best_v, best_i, *, k: int,
 
     # (Bq, BLK) similarity tile on the MXU.
     sim = jnp.dot(q_ref[:], db_ref[:].T, preferred_element_type=jnp.float32)
-    base = j * blk
-    # pad rows (beyond the true N) must never win
-    col_ids = jax.lax.broadcasted_iota(jnp.int32, sim.shape, 1) + base
-    sim = jnp.where(col_ids < n, sim, NEG)
 
-    def select_one(_, carry):
-        sim, bv, bi = carry
-        # best remaining candidate in this tile, per query row
-        m = jnp.max(sim, axis=1, keepdims=True)              # (Bq, 1)
-        am = jnp.argmax(sim, axis=1, keepdims=True)          # (Bq, 1)
-        cand_id = (am + base).astype(jnp.int32)
-        # knock it out of the tile
-        hit = jax.lax.broadcasted_iota(jnp.int32, sim.shape, 1) == am
-        sim = jnp.where(hit, NEG, sim)
+    # additive per-row validity mask: row t of the (blk/128, 128) block
+    # covers sim columns [t*128, (t+1)*128)
+    rm = rmask_ref[:]
+    parts = [sim[:, t * 128:(t + 1) * 128] + rm[t:t + 1, :]
+             for t in range(blk // 128)]
+    sim = jnp.concatenate(parts, axis=1) if len(parts) > 1 else parts[0]
+
+    if bias_ref is not None:
+        # expand the transposed (sub, Bq) bias to (Bq, blk) with one MXU
+        # contraction: E[s, c] = 1 iff column c lies in subtile s
+        sub = blk // lt
+        bt = bias_ref[:]                                     # (sub, Bq)
+        rows = jax.lax.broadcasted_iota(jnp.int32, (sub, blk), 0)
+        cols = jax.lax.broadcasted_iota(jnp.int32, (sub, blk), 1)
+        expand = (cols // lt == rows).astype(jnp.float32)    # (sub, blk)
+        sim = sim + jax.lax.dot_general(
+            bt, expand, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)              # (Bq, blk)
+
+    bv, bi = best_v[:], best_i[:]
+    # Filter against the per-row current worst: only strictly-better
+    # entries can enter the running set.
+    w = jnp.min(bv, axis=1, keepdims=True)                   # (Bq, 1)
+    cand = jnp.where(sim > w, sim, NEG)
+    base = j * blk
+
+    def has_candidates(carry):
+        cand, _, _ = carry
+        return jnp.any(cand > NEG / 2)
+
+    def insert_one(carry):
+        cand, bv, bi = carry
+        m = jnp.max(cand, axis=1, keepdims=True)             # (Bq, 1)
+        am = jnp.argmax(cand, axis=1, keepdims=True)
+        hit = jax.lax.broadcasted_iota(jnp.int32, cand.shape, 1) == am
+        cand_pos = (am + base).astype(jnp.int32)
+        cand = jnp.where(hit, NEG, cand)
         # replace the current worst running entry if the candidate beats it
-        wv = jnp.min(bv, axis=1, keepdims=True)              # (Bq, 1)
+        wv = jnp.min(bv, axis=1, keepdims=True)
         wi = jnp.argmin(bv, axis=1, keepdims=True)
-        take = m > wv                                        # (Bq, 1)
+        take = m > wv
         slot = jax.lax.broadcasted_iota(jnp.int32, bv.shape, 1) == wi
         bv = jnp.where(slot & take, m, bv)
-        bi = jnp.where(slot & take, cand_id, bi)
-        return (sim, bv, bi)
+        bi = jnp.where(slot & take, cand_pos, bi)
+        return (cand, bv, bi)
 
-    sim, bv, bi = jax.lax.fori_loop(0, k, select_one,
-                                    (sim, best_v[:], best_i[:]))
-    del sim
+    _, bv, bi = jax.lax.while_loop(has_candidates, insert_one,
+                                   (cand, bv, bi))
     best_v[:] = bv
     best_i[:] = bi
 
@@ -92,35 +132,42 @@ def _kernel(q_ref, db_ref, out_v_ref, out_i_ref, best_v, best_i, *, k: int,
         out_i_ref[:] = oi
 
 
-@functools.partial(jax.jit, static_argnames=("k", "blk", "interpret"))
-def topk_ip_pallas(q: jax.Array, db: jax.Array, k: int = 32,
-                   blk: int = 2048, interpret: bool = False):
-    """Top-k inner-product search: returns (scores, ids), each (Bq, k).
+def _kernel_plain(q_ref, db_ref, rmask_ref, out_v_ref, out_i_ref,
+                  best_v, best_i, *, k, blk):
+    _kernel_body(q_ref, db_ref, rmask_ref, None, out_v_ref, out_i_ref,
+                 best_v, best_i, k=k, blk=blk, lt=blk)
 
-    q: (Bq, d) float32; db: (N, d) — N is padded up to a multiple of blk
-    internally (pad rows score NEG). k must be a multiple of-nothing but
-    small (<= 128 recommended: the running set lives in VMEM lanes).
-    """
-    n, d = db.shape
-    # VMEM budget: the (Bq, BLK) f32 sim tile is the big resident
-    assert q.shape[0] * blk * 4 <= 8 * 2**20, \
-        f"sim tile {q.shape[0]}x{blk} too large for VMEM; block the queries"
-    n_pad = (-n) % blk
-    if n_pad:
-        db = jnp.pad(db, ((0, n_pad), (0, 0)))
-        # pad rows are zero vectors -> score 0; mask by id at the end
-    n_blocks = (n + n_pad) // blk
+
+def _kernel_masked(q_ref, db_ref, rmask_ref, bias_ref, out_v_ref, out_i_ref,
+                   best_v, best_i, *, k, blk, lt):
+    _kernel_body(q_ref, db_ref, rmask_ref, bias_ref, out_v_ref, out_i_ref,
+                 best_v, best_i, k=k, blk=blk, lt=lt)
+
+
+def _call(q, db, rmask, bias_t, *, k, blk, lt, interpret):
+    n_pad, d = db.shape
     bq = q.shape[0]
+    n_blocks = n_pad // blk
+    dtype = db.dtype
+    in_specs = [
+        pl.BlockSpec((bq, d), lambda j: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((blk, d), lambda j: (j, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((blk // 128, 128), lambda j: (j, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    args = [q.astype(dtype), db, rmask]
+    if bias_t is not None:
+        kern = functools.partial(_kernel_masked, k=k, blk=blk, lt=lt)
+        in_specs.append(pl.BlockSpec((blk // lt, bq), lambda j: (j, 0),
+                                     memory_space=pltpu.VMEM))
+        args.append(bias_t)
+    else:
+        kern = functools.partial(_kernel_plain, k=k, blk=blk)
 
     out_v, out_i = pl.pallas_call(
-        functools.partial(_kernel, k=k, blk=blk, n=n),
+        kern,
         grid=(n_blocks,),
-        in_specs=[
-            pl.BlockSpec((bq, d), lambda j: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((blk, d), lambda j: (j, 0),
-                         memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=(
             pl.BlockSpec((bq, k), lambda j: (0, 0),
                          memory_space=pltpu.VMEM),
@@ -132,11 +179,62 @@ def topk_ip_pallas(q: jax.Array, db: jax.Array, k: int = 32,
         scratch_shapes=[pltpu.VMEM((bq, k), jnp.float32),
                         pltpu.VMEM((bq, k), jnp.int32)],
         cost_estimate=pl.CostEstimate(
-            flops=2 * bq * (n + n_pad) * d,
-            bytes_accessed=(n + n_pad) * d * 4 + bq * d * 4,
+            flops=2 * bq * n_pad * d,
+            bytes_accessed=n_pad * d * dtype.itemsize + bq * d * 4,
             transcendentals=0),
         interpret=interpret,
-    )(q.astype(jnp.float32), db.astype(jnp.float32))
-    # entries never filled (k > n) keep id -1
+    )(*args)
     out_i = jnp.where(out_v <= NEG / 2, -1, out_i)
     return out_v, out_i
+
+
+@functools.partial(jax.jit, static_argnames=("k", "blk", "interpret"))
+def topk_ip_pallas(q: jax.Array, db: jax.Array, k: int = 32,
+                   blk: int = 2048, interpret: bool = False):
+    """Exact top-k inner-product search: returns (scores, ids), (Bq, k).
+
+    q: (Bq, d) float32; db: (N, d) — N is padded up to a multiple of blk
+    internally (pad rows masked, id -1). k should be small (<= 128: the
+    running set lives in VMEM lanes). blk must be a multiple of 1024 on
+    real TPU (the row-mask block is (blk/128, 128), sublane-tiled by 8).
+    """
+    n, d = db.shape
+    # VMEM budget: the (Bq, BLK) f32 sim tile is the big resident
+    assert q.shape[0] * blk * 4 <= 8 * 2**20, \
+        f"sim tile {q.shape[0]}x{blk} too large for VMEM; block the queries"
+    n_pad_to = (-n) % blk
+    if n_pad_to:
+        db = jnp.pad(db, ((0, n_pad_to), (0, 0)))
+    n_pad = n + n_pad_to
+    rmask = jnp.where(jnp.arange(n_pad) < n, 0.0, NEG).astype(jnp.float32)
+    return _call(q.astype(jnp.float32), db.astype(jnp.float32),
+                 rmask.reshape(n_pad // 128, 128), None,
+                 k=k, blk=blk, lt=blk, interpret=interpret)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("k", "blk", "list_tile", "interpret"))
+def topk_ip_pallas_masked(q: jax.Array, db: jax.Array, ids: jax.Array,
+                          bias: jax.Array, k: int = 32, blk: int = 1024,
+                          list_tile: int = 128, interpret: bool = False):
+    """Top-k with per-row ids and per-(query, subtile) additive bias.
+
+    q: (Bq, d); db: (N, d) with N a multiple of ``blk``; ids: (N,) int32,
+    -1 marks invalid (padding) rows anywhere in the array; bias:
+    (Bq, N // list_tile) float32 added to every score in the subtile
+    (use 0 / NEG to implement inverted-list probe masks). On real TPU
+    ``Bq`` must be a multiple of 128 (the transposed bias block is
+    (blk/list_tile, Bq)), ``blk`` a multiple of 1024, and
+    ``blk // list_tile`` a multiple of 8.
+    """
+    n, d = db.shape
+    assert n % blk == 0 and blk % list_tile == 0
+    assert q.shape[0] * blk * 4 <= 8 * 2**20, \
+        f"sim tile {q.shape[0]}x{blk} too large for VMEM; block the queries"
+    assert bias.shape == (q.shape[0], n // list_tile), bias.shape
+    rmask = jnp.where(ids >= 0, 0.0, NEG).astype(jnp.float32)
+    v, pos = _call(q, db, rmask.reshape(n // 128, 128),
+                   bias.T.astype(jnp.float32),
+                   k=k, blk=blk, lt=list_tile, interpret=interpret)
+    out_ids = jnp.take(ids.astype(jnp.int32), jnp.maximum(pos, 0))
+    return v, jnp.where(pos < 0, -1, out_ids)

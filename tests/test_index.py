@@ -113,3 +113,32 @@ def test_ivfsq8_recall_vs_exact(rng):
     for row in ids:
         real = row[row >= 0]
         assert len(set(real.tolist())) == len(real)
+
+
+def test_ivfpq_pallas_path_matches_xla_fallback(rng):
+    """The TPU (pallas masked kernel) and XLA fallback scorers must agree
+    through the real index plumbing (decode chunks, bias, ids)."""
+    import jax
+    import jax.numpy as jnp
+    from nafp_tpu.search.index import _pq_probe_bias, _pq_score_chunk_xla
+    from nafp_tpu.search.pallas_topk import topk_ip_pallas_masked
+
+    db = _unit(rng, 3000)
+    q = db[rng.integers(0, 3000, 16)] \
+        + 0.05 * rng.standard_normal((16, 128)).astype(np.float32)
+    idx = IVFPQIndex(d=128, nlist=16, m=64, nbits=8, nprobe=4)
+    idx.train(db, kmeans_iters=4)
+    idx.add(db)
+
+    qd = jnp.asarray(q)
+    bias = _pq_probe_bias(qd, idx.centroids, idx.sub_list, nprobe=idx.nprobe)
+    dec = idx._decode_chunk(idx.codes, idx.sub_list)
+    xv, xi = _pq_score_chunk_xla(qd, dec, idx.ids, bias, k=10,
+                                 lt=idx.LIST_TILE)
+    pv, pi = topk_ip_pallas_masked(qd, dec.astype(jnp.float32), idx.ids,
+                                   bias, k=10, blk=idx.BLK,
+                                   list_tile=idx.LIST_TILE,
+                                   interpret=jax.default_backend() != "tpu")
+    np.testing.assert_allclose(np.asarray(pv), np.asarray(xv),
+                               rtol=1e-3, atol=1e-4)
+    assert (np.asarray(pi)[:, 0] == np.asarray(xi)[:, 0]).all()
