@@ -62,14 +62,17 @@ class FlatIndex:
     def _search_block(self, q: jax.Array, k: int):
         return self._search_block_impl(q, self.db, self.db_sq, k, self.metric)
 
-    # Above ~1M rows, switch every search on this DB to the fused Pallas
-    # kernel that streams DB tiles and never materializes the (Bq, N)
-    # logits (search/pallas_topk.py). Below that, XLA's matmul + TopK is
-    # faster (measured: 40 ms vs 54 ms for 512x620k on v5e). The decision
-    # is per-DB, not per-call: mixing paths compiles an XLA TopK program
-    # over the full N for small warm-up batches, which the remote compiler
-    # chokes on at large N.
-    PALLAS_MIN_ROWS = 1_000_000
+    # Above this, every search on this DB uses the fused Pallas kernel that
+    # streams DB tiles and never materializes the (Bq, N) logits
+    # (search/pallas_topk.py). The v2 filtered selection beats XLA's
+    # matmul+TopK well below the old 1M crossover (measured on v5e,
+    # 512 queries x 128d, k=20: 59 vs 89 ms at 150k rows, 61 vs 102 ms at
+    # 620k). Below ~50k both paths are host-overhead-bound; XLA avoids a
+    # per-shape Mosaic compile there. The decision is per-DB, not
+    # per-call: mixing paths compiles an XLA TopK program over the full N
+    # for small warm-up batches, which the remote compiler chokes on at
+    # large N.
+    PALLAS_MIN_ROWS = 50_000
 
     def search(self, q: np.ndarray, k: int,
                block: int = 2048) -> Tuple[np.ndarray, np.ndarray]:
