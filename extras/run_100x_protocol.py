@@ -1,0 +1,182 @@
+#!/usr/bin/env python
+"""Measure the 100x search protocol at its real scale: 53.6 M vectors.
+
+The reference's full evaluation runs 2,000 queries against a 100k-song
+dummy DB of ~53.6 M fingerprints (``eval/eval_faiss.py:147-148``,
+``config/default.yaml`` TEST_DUMMY_DB '100k_full_icassp'). This script
+builds that scale on disk and measures the TPU-native scalable index
+(ivf-sq8) against exact ground truth — QPS and recall@20, measured, not
+extrapolated.
+
+Stages (each skipped when its artifact already exists):
+  1. gen      — write dummy_db.mm (N x 128 f32, unit-norm) as a disk
+                memmap, chunked (no full in-RAM array at any point).
+  2. build    — train (sqrt(N) coarse book on a 256/centroid subsample)
+                + streamed add() straight off the memmap.
+  3. qps      — warm + timed search of NQ noisy-copy queries.
+  4. recall   — exact GT top-1 via the fused Pallas kernel streaming the
+                memmap through the chip in chunks; report recall@20.
+
+Results are appended as JSON lines to RESULTS (default
+/tmp/nafp_100x/results.jsonl).
+
+Usage:
+    python extras/run_100x_protocol.py [--n 53600000] [--nq 2048]
+                                       [--root /tmp/nafp_100x]
+                                       [--stages gen,build,qps,recall]
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import time
+
+import numpy as np
+
+D = 128
+
+
+def stage_gen(root: str, n: int, chunk: int = 1 << 20) -> str:
+    path = os.path.join(root, "dummy_db.mm")
+    shape_path = os.path.join(root, "dummy_db_shape.npy")
+    if os.path.exists(path) and os.path.exists(shape_path) \
+            and tuple(np.load(shape_path)) == (n, D):
+        print(f"[gen] exists: {path}")
+        return path
+    print(f"[gen] writing {n:,} x {D} f32 ({n * D * 4 / 2**30:.1f} GiB) ...")
+    mm = np.memmap(path, np.float32, "w+", shape=(n, D))
+    rng = np.random.default_rng(12345)
+    t0 = time.perf_counter()
+    for s in range(0, n, chunk):
+        e = min(s + chunk, n)
+        x = rng.standard_normal((e - s, D), dtype=np.float32)
+        x /= np.linalg.norm(x, axis=1, keepdims=True)
+        mm[s:e] = x
+        if (s // chunk) % 8 == 0:
+            print(f"  {e:,}/{n:,}  ({time.perf_counter()-t0:.0f}s)",
+                  flush=True)
+    mm.flush()
+    np.save(shape_path, np.asarray((n, D)))
+    print(f"[gen] done in {time.perf_counter()-t0:.0f}s")
+    return path
+
+
+def load_mm(root: str):
+    shape = tuple(np.load(os.path.join(root, "dummy_db_shape.npy")))
+    return np.memmap(os.path.join(root, "dummy_db.mm"), np.float32, "r",
+                     shape=shape)
+
+
+def make_queries(mm, nq: int, seed: int = 7):
+    rng = np.random.default_rng(seed)
+    pick = np.sort(rng.integers(0, len(mm), nq))
+    q = np.asarray(mm[pick], np.float32)
+    q = q + 0.05 * rng.standard_normal(q.shape).astype(np.float32)
+    q /= np.linalg.norm(q, axis=1, keepdims=True)
+    return q, pick
+
+
+def stage_build(root: str, out: dict):
+    from nafp_tpu.search.index import IVFSQ8Index
+    mm = load_mm(root)
+    idx = IVFSQ8Index(d=D)
+    t0 = time.perf_counter()
+    idx.train(mm)
+    t_train = time.perf_counter() - t0
+    print(f"[build] trained nlist={idx.nlist} in {t_train:.0f}s", flush=True)
+    t0 = time.perf_counter()
+    idx.add(mm)
+    t_add = time.perf_counter() - t0
+    print(f"[build] added {idx.ntotal:,} rows in {t_add:.0f}s "
+          f"(list_cap={idx.list_cap})", flush=True)
+    out.update(nlist=idx.nlist, list_cap=idx.list_cap,
+               train_sec=round(t_train, 1), add_sec=round(t_add, 1))
+    return idx
+
+
+def stage_qps(idx, mm, nq: int, k: int, out: dict):
+    q, _ = make_queries(mm, nq)
+    idx.search(q, k)                      # warm with identical shapes
+    t0 = time.perf_counter()
+    _, ids = idx.search(q, k)
+    dt = time.perf_counter() - t0
+    out.update(nq=nq, k=k, qps=round(nq / dt, 1),
+               search_sec=round(dt, 2))
+    print(f"[qps] {out['qps']} queries/sec ({dt:.1f}s for {nq})",
+          flush=True)
+    return ids
+
+
+def exact_gt_top1(mm, q, chunk: int = 1 << 21):
+    """Exact top-1 over the whole memmap: stream chunks through the fused
+    Pallas kernel, merge chunk winners on host."""
+    import jax
+    import jax.numpy as jnp
+    from nafp_tpu.search.pallas_topk import topk_ip_pallas
+    interp = jax.default_backend() != "tpu"
+    n = len(mm)
+    best_v = np.full(len(q), -np.inf, np.float32)
+    best_i = np.full(len(q), -1, np.int64)
+    t0 = time.perf_counter()
+    for s in range(0, n, chunk):
+        e = min(s + chunk, n)
+        db_dev = jnp.asarray(np.asarray(mm[s:e]))
+        for qs in range(0, len(q), 512):
+            qb = q[qs:qs + 512]
+            v, i = topk_ip_pallas(jnp.asarray(qb), db_dev, k=1,
+                                  interpret=interp)
+            v = np.asarray(v)[:, 0]
+            i = np.asarray(i)[:, 0].astype(np.int64) + s
+            sl = slice(qs, qs + len(qb))
+            better = v > best_v[sl]
+            best_v[sl] = np.where(better, v, best_v[sl])
+            best_i[sl] = np.where(better, i, best_i[sl])
+        print(f"  gt {e:,}/{n:,} ({time.perf_counter()-t0:.0f}s)",
+              flush=True)
+    return best_i
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n", type=int, default=53_600_000)
+    ap.add_argument("--nq", type=int, default=2048)
+    ap.add_argument("--k", type=int, default=20)
+    ap.add_argument("--root", default="/tmp/nafp_100x")
+    ap.add_argument("--stages", default="gen,build,qps,recall")
+    args = ap.parse_args()
+    os.makedirs(args.root, exist_ok=True)
+    stages = set(args.stages.split(","))
+    out = {"protocol": "100x", "n": args.n}
+
+    if "gen" in stages:
+        stage_gen(args.root, args.n)
+    mm = load_mm(args.root)
+
+    idx = None
+    if {"build", "qps", "recall"} & stages:
+        out_build = {}
+        idx = stage_build(args.root, out_build)
+        out.update(out_build)
+
+    ids = None
+    if "qps" in stages:
+        ids = stage_qps(idx, mm, args.nq, args.k, out)
+
+    if "recall" in stages:
+        q, _ = make_queries(mm, args.nq)
+        if ids is None:
+            _, ids = idx.search(q, args.k)
+        gt = exact_gt_top1(mm, q)
+        recall = float(np.mean([gt[i] in ids[i] for i in range(len(q))]))
+        out["recall_at_k"] = round(recall, 4)
+        print(f"[recall] recall@{args.k} = {recall:.4f}", flush=True)
+
+    line = json.dumps(out)
+    with open(os.path.join(args.root, "results.jsonl"), "a") as f:
+        f.write(line + "\n")
+    print(line)
+
+
+if __name__ == "__main__":
+    main()

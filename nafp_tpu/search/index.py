@@ -125,19 +125,44 @@ def _kmeanspp_init(data: jax.Array, k: int, key: jax.Array) -> jax.Array:
 
 
 @jax.jit
-def _lloyd_step(data: jax.Array, cents: jax.Array) -> jax.Array:
-    """One Lloyd iteration: argmax-assignment matmul + one-hot segment sums
-    (MXU, no scatters). Module-level jit so repeated kmeans() calls (the 64
-    PQ codebooks) reuse one executable."""
+def _lloyd_accum(data: jax.Array, cents: jax.Array):
+    """Partial Lloyd statistics for one data chunk: one-hot segment sums
+    (MXU, no scatters) -> (sums (k, d), counts (k,)). Module-level jit so
+    repeated kmeans() calls (the 64 PQ codebooks) reuse one executable."""
     k = cents.shape[0]
-    d_sq = jnp.sum(data ** 2, 1, keepdims=True)
     c_sq = jnp.sum(cents ** 2, 1)
     sim = (2.0 * jnp.dot(data, cents.T, preferred_element_type=jnp.float32)
-           - c_sq[None, :] - d_sq)
+           - c_sq[None, :])
     assign = jnp.argmax(sim, axis=1)                        # (n,)
     onehot = jax.nn.one_hot(assign, k, dtype=jnp.float32)   # (n, k)
     sums = jnp.dot(onehot.T, data, preferred_element_type=jnp.float32)
-    counts = jnp.sum(onehot, axis=0)[:, None]
+    counts = jnp.sum(onehot, axis=0)
+    return sums, counts
+
+
+def _lloyd_step(data: jax.Array, cents: jax.Array,
+                block: Optional[int] = None) -> jax.Array:
+    """One Lloyd iteration, blocked over the data so the (n, k) one-hot
+    never exists at full size (k can be 4096+ for sqrt(N) coarse books)."""
+    k, d = cents.shape
+    n = data.shape[0]
+    if block is None:
+        # keep the per-block (block, k) one-hot around 1 GB f32
+        block = max(8192, (1 << 28) // k)
+    if n * k <= (1 << 28):                  # small: single fused call
+        sums, counts = _lloyd_accum(data, cents)
+    else:
+        sums = jnp.zeros((k, d), jnp.float32)
+        counts = jnp.zeros((k,), jnp.float32)
+        nfull = (n // block) * block
+        for s in range(0, nfull, block):
+            ps, pc = _lloyd_accum(
+                jax.lax.dynamic_slice_in_dim(data, s, block), cents)
+            sums, counts = sums + ps, counts + pc
+        if n > nfull:                        # one partial tail chunk
+            ps, pc = _lloyd_accum(data[nfull:], cents)
+            sums, counts = sums + ps, counts + pc
+    counts = counts[:, None]
     new = sums / jnp.maximum(counts, 1.0)
     # keep empty clusters where they were
     return jnp.where(counts > 0, new, cents)
@@ -458,13 +483,25 @@ class IVFSQ8Index:
     the DB are masked by id.
     """
 
-    def __init__(self, d: int = 128, nlist: int = 256, nprobe: int = 40):
+    def __init__(self, d: int = 128, nlist: Optional[int] = None,
+                 nprobe: int = 40):
         self.d, self.nlist, self.nprobe = d, nlist, nprobe
         self.ntotal = 0
         self._trained = False
 
-    def train(self, data: np.ndarray, max_train: int = int(1e7),
+    def train(self, data: np.ndarray, max_train: Optional[int] = None,
               kmeans_iters: int = 10, seed: int = 0) -> None:
+        if self.nlist is None:
+            # scale the coarse book with the DB (FAISS practice:
+            # nlist ~ sqrt(N)); per-probe scan work is N/nlist rows, so a
+            # fixed 256 would make each probe a 210k-row scan at the
+            # 100x-protocol scale (53.6 M rows)
+            self.nlist = int(np.clip(
+                1 << int(np.log2(max(len(data), 2) ** 0.5) + 0.5),
+                256, 16384))
+        if max_train is None:
+            # FAISS-style training budget: ~256 points per centroid
+            max_train = max(int(1e6), 256 * self.nlist)
         # subsample BEFORE any full-array conversion: `data` may be a
         # disk memmap at the 100x-protocol scale (27 GB f32)
         if len(data) > max_train:
@@ -626,14 +663,14 @@ def get_index(index_type: str, train_data: np.ndarray,
         idx.train(train_data, max_train=max_train)
         return idx
     if t == "ivf-sq8":
-        idx = IVFSQ8Index(d=d, nlist=256, nprobe=nprobe)
+        idx = IVFSQ8Index(d=d, nprobe=nprobe)  # nlist auto ~ sqrt(N)
         idx.train(train_data, max_train=max_train)
         return idx
     if t == "ivf-sq8-sharded":
         # the scalable index with every inverted list row-sharded over the
         # device mesh (capacity + per-probe compute scale with mesh size)
         from nafp_tpu.search.sharded import ShardedIVFSQ8Index
-        idx = ShardedIVFSQ8Index(d=d, nlist=256, nprobe=nprobe)
+        idx = ShardedIVFSQ8Index(d=d, nprobe=nprobe)
         idx.train(train_data, max_train=max_train)
         return idx
     if t == "l2-sharded":

@@ -103,8 +103,8 @@ class ShardedIVFSQ8Index(IVFSQ8Index):
     cut by R.
     """
 
-    def __init__(self, d: int = 128, nlist: int = 256, nprobe: int = 40,
-                 mesh: Optional[Mesh] = None):
+    def __init__(self, d: int = 128, nlist: Optional[int] = None,
+                 nprobe: int = 40, mesh: Optional[Mesh] = None):
         super().__init__(d=d, nlist=nlist, nprobe=nprobe)
         self.mesh = mesh or make_data_mesh()
         self._search_jit = {}
