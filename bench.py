@@ -20,6 +20,31 @@ BASELINE_SEGS_PER_SEC = 10_000.0  # BASELINE.md north-star
 BATCH = 1024  # sweep: 512->53k, 1024->57k, 2048->44k segs/s
 ITERS = 20
 
+# Dense peak bf16 TFLOP/s per chip, by jax device_kind (MXU throughput;
+# used only for the diagnostic MFU field so regressions are visible).
+PEAK_BF16_TFLOPS = {
+    "TPU v3": 123.0,
+    "TPU v4": 275.0,
+    "TPU v5 lite": 197.0,   # v5e
+    "TPU v5e": 197.0,
+    "TPU v5": 459.0,        # v5p
+    "TPU v5p": 459.0,
+    "TPU v6 lite": 918.0,   # v6e / Trillium
+    "TPU v6e": 918.0,
+}
+
+
+def _flops_per_call(jitted, *args) -> float:
+    """FLOPs of one compiled call from XLA cost analysis (0.0 if the
+    backend doesn't expose it, e.g. some plugin runtimes)."""
+    try:
+        cost = jitted.lower(*args).compile().cost_analysis()
+        if isinstance(cost, (list, tuple)):
+            cost = cost[0]
+        return float(cost.get("flops", 0.0))
+    except Exception:
+        return 0.0
+
 
 def main() -> None:
     from nafp_tpu.configuration import load_config
@@ -54,12 +79,22 @@ def main() -> None:
     dt = time.perf_counter() - t0
 
     segs_per_sec = BATCH * ITERS / dt
-    print(json.dumps({
+
+    line = {
         "metric": "fingerprint_throughput",
         "value": round(segs_per_sec, 1),
         "unit": "segments/sec/chip",
         "vs_baseline": round(segs_per_sec / BASELINE_SEGS_PER_SEC, 3),
-    }))
+    }
+    # Diagnostic MFU: achieved FLOP/s over the chip's dense bf16 peak.
+    flops = _flops_per_call(fingerprint, params, x)
+    kind = jax.devices()[0].device_kind
+    peak = PEAK_BF16_TFLOPS.get(kind)
+    if flops and peak:
+        achieved_tflops = flops * ITERS / dt / 1e12
+        line["mfu"] = round(achieved_tflops / peak, 4)
+        line["tflops"] = round(achieved_tflops, 1)
+    print(json.dumps(line))
 
 
 if __name__ == "__main__":

@@ -10,7 +10,7 @@ harmonic-mixture "songs" written as 8 kHz 16-bit mono PCM WAV:
     ROOT/music/test-dummy-db-100k-full/**.wav
     ROOT/music/test-query-db-500-30s/{db,query}/**.wav   (query = noisy db)
     ROOT/aug/bg/{tr,ts}/**.wav  ROOT/aug/ir/{tr,ts}/**.wav
-    ROOT/aug/speech/{tr,ts}/**.wav
+    ROOT/aug/speech/{train,test,dev}/**.wav   (common-voice split names)
 
 Queries are degraded copies (additive noise + small gain) of the db songs,
 so a trained fingerprinter must retrieve them — the same construction as
@@ -93,16 +93,21 @@ def build(root: str, n_train: int, n_query: int, n_dummy: int,
     for i in range(n_dummy):
         write_wav(f"{root}/music/test-dummy-db-100k-full/{i:04d}.wav",
                   song(30_000 + i, sec))
-    for split in ("tr", "ts"):
+    # Speech uses the common-voice split names the catalog globs
+    # (train/test/dev, catalog.py:115-124); bg/ir use tr/ts.
+    for split, sp_split in (("tr", "train"), ("ts", "test")):
         base = 40_000 if split == "tr" else 50_000
         for i in range(6):
             write_wav(f"{root}/aug/bg/{split}/{i:02d}.wav",
                       song(base + i, sec) * 0.5)
-            write_wav(f"{root}/aug/speech/{split}/{i:02d}.wav",
+            write_wav(f"{root}/aug/speech/{sp_split}/{i:02d}.wav",
                       speech_like(base + 100 + i, sec))
             ir = (np.exp(-np.arange(800) / 100.0)
                   * np.random.default_rng(base + 200 + i).standard_normal(800))
             write_wav(f"{root}/aug/ir/{split}/{i:02d}.wav", 0.3 * ir)
+    for i in range(4):  # dev/ split backs VAL_SPEECH_AUG
+        write_wav(f"{root}/aug/speech/dev/{i:02d}.wav",
+                  speech_like(60_000 + i, sec))
 
 
 def main() -> None:

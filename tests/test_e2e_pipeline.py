@@ -102,6 +102,38 @@ def test_full_pipeline(e2e_cfg):
     assert os.path.exists(os.path.join(out_dir, "test_ids.npy"))
 
 
+def test_train_with_speech_aug(e2e_cfg):
+    """Speech TD-aug end-to-end: the loader ships speech segments and the
+    jitted step routes replicas through the bg+speech sum path (reference
+    dataloader_keras.py:231-299 semantics: speech is a second noise source
+    mixed like bg)."""
+    from nafp_tpu.data.catalog import Dataset
+    from nafp_tpu.train.trainer import trainer
+
+    cfg = {k: (dict(v) if isinstance(v, dict) else v)
+           for k, v in e2e_cfg.items()}
+    root = os.path.dirname(cfg["DIR"]["BG_ROOT_DIR"].rstrip("/"))
+    speech_root = f"{root}/speech/"
+    rng = np.random.default_rng(42)
+    for i in range(2):  # babble-like band-limited noise as "speech"
+        x = rng.standard_normal(FS * 4)
+        x = np.convolve(x, np.ones(16) / 16, mode="same")
+        _write_wav(f"{speech_root}train/{i}.wav", 0.4 * x / np.abs(x).max())
+    cfg["DIR"]["SPEECH_ROOT_DIR"] = speech_root
+    cfg["TD_AUG"]["TR_SPEECH_AUG"] = True
+    cfg["TRAIN"]["MAX_EPOCH"] = 1
+
+    ds = Dataset(cfg).get_train_ds(0)
+    assert ds.speech_mix, "speech sources not picked up by the loader"
+    assert "speech" in ds[0], "loader batch missing speech segments"
+    assert np.abs(ds[0]["speech"]).max() > 0
+
+    trainer(cfg, "e2e_speech")  # full epoch through the jitted step
+    ckpt = os.path.join(cfg["DIR"]["LOG_ROOT_DIR"], "checkpoint",
+                        "e2e_speech")
+    assert os.path.isdir(ckpt)
+
+
 def test_generate_custom_source(e2e_cfg):
     from nafp_tpu.generate import generate_fingerprint
     src = e2e_cfg["DIR"]["SOURCE_ROOT_DIR"] + "test-query-db-500-30s/db/"
