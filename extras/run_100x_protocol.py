@@ -30,9 +30,14 @@ from __future__ import annotations
 import argparse
 import json
 import os
+import sys
 import time
 
 import numpy as np
+
+# `python extras/run_100x_protocol.py` puts extras/ (not the repo) on
+# sys.path; make the script self-contained.
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 D = 128
 
