@@ -142,3 +142,31 @@ def test_ivfpq_pallas_path_matches_xla_fallback(rng):
     np.testing.assert_allclose(np.asarray(pv), np.asarray(xv),
                                rtol=1e-3, atol=1e-4)
     assert (np.asarray(pi)[:, 0] == np.asarray(xi)[:, 0]).all()
+
+
+def test_ivfsq8_streamed_memmap_add_matches_ram(rng, tmp_path):
+    """add() streamed off a disk memmap (the 100x-protocol path) must build
+    the identical index as an in-RAM array: same quantized store, same
+    search results."""
+    from nafp_tpu.search.index import IVFSQ8Index
+    db = _unit(rng, 4096)
+    path = str(tmp_path / "db.mm")
+    mm = np.memmap(path, np.float32, "w+", shape=db.shape)
+    mm[:] = db
+    mm.flush()
+    mm = np.memmap(path, np.float32, "r", shape=db.shape)
+
+    a = IVFSQ8Index(d=128, nlist=16, nprobe=8)
+    a.train(db, kmeans_iters=4)
+    a.add(db)
+    b = IVFSQ8Index(d=128, nlist=16, nprobe=8)
+    b.train(mm, kmeans_iters=4)
+    b.add(mm, block=1000)            # force multi-block streaming
+    assert b.ntotal == a.ntotal and b.list_cap == a.list_cap
+    np.testing.assert_array_equal(np.asarray(a.ids), np.asarray(b.ids))
+    np.testing.assert_array_equal(np.asarray(a.vecs8), np.asarray(b.vecs8))
+    q = db[rng.integers(0, 4096, 32)]
+    da, ia = a.search(q, k=5)
+    db_, ib = b.search(q, k=5)
+    np.testing.assert_array_equal(ia, ib)
+    np.testing.assert_allclose(da, db_, rtol=1e-5, atol=1e-6)
