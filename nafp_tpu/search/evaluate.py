@@ -19,6 +19,12 @@ Protocol (kept bit-faithful):
 
 The data-dependent 'unique candidates' step becomes static-shaped: sort the
 sl*k candidate list, mask duplicates/-1s to -inf before the final top-k.
+
+Tail test ids (at most seq_len−1 of them per length) have fewer than sl
+segments; their missing rows are zero-padded into the static-shape search
+batch and the hits masked after. The padded rows are searched — that waste
+is bounded by (sl−1)·sl·k_probe rows per protocol run, far below what a
+dynamic-shape recompile would cost.
 """
 from __future__ import annotations
 

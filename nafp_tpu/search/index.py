@@ -281,28 +281,40 @@ class IVFPQIndex:
         return assign_to_centroids(data, self.centroids)
 
     # -- add ---------------------------------------------------------------
-    def add(self, data: np.ndarray) -> None:
+    def add(self, data, block: int = 1 << 20) -> None:
         """Encode and store (single-shot add; extend-in-place unsupported).
 
         Layout: rows sorted by coarse list, each list padded to a multiple
         of LIST_TILE rows (pad rows carry id −1), total padded to a
         multiple of BLK — so every LIST_TILE-row subtile belongs to exactly
         one list and the probe mask is a per-subtile bias.
+
+        Streams ``data`` block-by-block (accepts a disk memmap): the only
+        O(N) host buffers are the uint8 codes (64 B/row) and int32
+        assignment/order arrays — never a second full-size f32 copy, so a
+        100x-protocol-scale (27 GB) source encodes in ~4 GB of RAM.
         """
         assert self._trained, "train() before add()"
-        data = np.asarray(data, np.float32)
         lt = self.LIST_TILE
-        assign = self._assign_np(data)
+        n = len(data)
+        # pass 1: coarse assignment, streamed off the source
+        assign = np.empty(n, np.int32)
+        for s in range(0, n, block):
+            assign[s:s + block] = assign_to_centroids(
+                np.asarray(data[s:s + block], np.float32), self.centroids)
         order = np.argsort(assign, kind="stable")
         sorted_assign = assign[order]
-        resid = data[order] - np.asarray(self.centroids)[sorted_assign]
 
-        # PQ-encode residuals blockwise on device.
-        codes = np.empty((len(data), self.m), np.uint8)
+        # pass 2: gather sorted rows in blocks, PQ-encode residuals on
+        # device (order is grouped by list; gathers hit the page cache)
+        cents_np = np.asarray(self.centroids)
+        codes = np.empty((n, self.m), np.uint8)
         enc = jax.jit(self._encode_block)
-        for s in range(0, len(data), 65536):
-            codes[s:s + 65536] = np.asarray(
-                enc(jnp.asarray(resid[s:s + 65536])))
+        for s in range(0, n, 65536):
+            idxs = order[s:s + 65536]
+            rows = np.asarray(data[idxs], np.float32)
+            resid = rows - cents_np[sorted_assign[s:s + 65536]]
+            codes[s:s + 65536] = np.asarray(enc(jnp.asarray(resid)))
 
         counts = np.bincount(sorted_assign, minlength=self.nlist)
         padded = np.maximum((counts + lt - 1) // lt, 1) * lt

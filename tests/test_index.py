@@ -170,3 +170,27 @@ def test_ivfsq8_streamed_memmap_add_matches_ram(rng, tmp_path):
     db_, ib = b.search(q, k=5)
     np.testing.assert_array_equal(ia, ib)
     np.testing.assert_allclose(da, db_, rtol=1e-5, atol=1e-6)
+
+
+def test_ivfpq_streamed_memmap_add_matches_ram(rng, tmp_path):
+    """IVF-PQ add() streamed off a disk memmap must encode the identical
+    codes and ids as an in-RAM add."""
+    db = _unit(rng, 3000)
+    path = str(tmp_path / "db.mm")
+    mm = np.memmap(path, np.float32, "w+", shape=db.shape)
+    mm[:] = db
+    mm.flush()
+    mm = np.memmap(path, np.float32, "r", shape=db.shape)
+
+    a = IVFPQIndex(d=128, nlist=16, m=64, nbits=8, nprobe=4)
+    a.train(db, kmeans_iters=4)
+    a.add(db)
+    b = IVFPQIndex(d=128, nlist=16, m=64, nbits=8, nprobe=4)
+    b.train(db, kmeans_iters=4)         # same codebooks
+    b.add(mm, block=700)                # force multi-block streaming
+    np.testing.assert_array_equal(np.asarray(a.ids), np.asarray(b.ids))
+    np.testing.assert_array_equal(np.asarray(a.codes), np.asarray(b.codes))
+    q = db[rng.integers(0, 3000, 16)]
+    _, ia = a.search(q, k=5)
+    _, ib = b.search(q, k=5)
+    np.testing.assert_array_equal(ia, ib)
