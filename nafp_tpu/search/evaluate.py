@@ -40,7 +40,7 @@ import numpy as np
 
 from nafp_tpu.data.audio_io import load_memmap
 from nafp_tpu.search.index import get_index
-from nafp_tpu.search.table import print_results_table
+from nafp_tpu.search.table import LiveTable, print_results_table
 
 
 @functools.partial(jax.jit, static_argnames=("sl",))
@@ -235,25 +235,28 @@ def eval_fingerprints(emb_dir: str,
 
     t_start = time.time()
     n_searches = 0
-    total = n_test * len(seq_lens)
     block = 128
-    for si, sl in enumerate(seq_lens):
-        for s in range(0, n_test, block):
-            ids_block = ids[s:s + block]
-            pred = _hits_for_block(index, recon_dev, full_db, query,
-                                   ids_block, int(sl), k_probe)
-            g = gt[s:s + block, None]
-            top1_exact[s:s + block, si] = (pred[:, :1] == g).any(1)
-            top1_near[s:s + block, si] = (np.abs(pred[:, :1] - g) <= 1).any(1)
-            top3_exact[s:s + block, si] = (pred[:, :3] == g).any(1)
-            top10_exact[s:s + block, si] = (pred[:, :10] == g).any(1)
-            n_searches += len(ids_block)
-            # live progress (counterpart of PrintTable's rolling update)
-            rate = 100.0 * top1_exact[:s + len(ids_block), si].mean()
-            ms = 1000.0 * (time.time() - t_start) / max(1, n_searches)
-            print(f"  seq_len {sl}: {s + len(ids_block)}/{n_test} "
-                  f"top1 {rate:5.1f}%  {ms:6.2f} ms/query", end="\r")
-        print()
+    # live display: curses table on a TTY, rolling line otherwise
+    # (counterpart of PrintTable, eval/utils/print_table.py:7-110)
+    with LiveTable(seq_lens) as table:
+        for si, sl in enumerate(seq_lens):
+            for s in range(0, n_test, block):
+                ids_block = ids[s:s + block]
+                pred = _hits_for_block(index, recon_dev, full_db, query,
+                                       ids_block, int(sl), k_probe)
+                g = gt[s:s + block, None]
+                top1_exact[s:s + block, si] = (pred[:, :1] == g).any(1)
+                top1_near[s:s + block, si] = \
+                    (np.abs(pred[:, :1] - g) <= 1).any(1)
+                top3_exact[s:s + block, si] = (pred[:, :3] == g).any(1)
+                top10_exact[s:s + block, si] = (pred[:, :10] == g).any(1)
+                n_searches += len(ids_block)
+                done = s + len(ids_block)
+                ms = 1000.0 * (time.time() - t_start) / max(1, n_searches)
+                table.update(si, [100.0 * m[:done, si].mean() for m in
+                                  (top1_exact, top1_near, top3_exact,
+                                   top10_exact)], done, n_test, ms)
+            table.line_break()
 
     elapsed = time.time() - t_start
     ms_per_query = 1000.0 * elapsed / max(1, n_test * len(seq_lens))

@@ -48,3 +48,15 @@ def test_run_py_delegates_to_package_cli():
     # run.py must be a shim over nafp_tpu.cli, not a second definition.
     from nafp_tpu.cli import main
     assert _load_run_cli() is main
+
+
+def test_live_table_fallback_and_rates():
+    """LiveTable degrades to the rolling line off-TTY and tracks rates."""
+    from nafp_tpu.search.table import LiveTable
+    with LiveTable([1, 3, 5], use_curses=False) as t:
+        assert t._scr is None          # no curses takeover off-TTY
+        t.update(0, [50.0, 60.0, 70.0, 80.0], 10, 20, 1.5)
+        t.update(2, [10.0, 20.0, 30.0, 40.0], 20, 20, 2.0)
+        t.line_break()
+    assert t.rates[0, 0] == 50.0 and t.rates[3, 2] == 40.0
+    assert t.rates[:, 1].sum() == 0.0
