@@ -83,9 +83,29 @@ def make_queries(mm, nq: int, seed: int = 7):
 
 
 def stage_build(root: str, out: dict):
+    """Train + add, persisting the quantized store so later stages (or a
+    rerun after a timeout) skip the ~hours-long streamed add."""
+    import jax.numpy as jnp
     from nafp_tpu.search.index import IVFSQ8Index
     mm = load_mm(root)
     idx = IVFSQ8Index(d=D)
+    cache = os.path.join(root, "ivfsq8_store.npz")
+    if os.path.exists(cache):
+        z = np.load(cache)
+        if int(z["ntotal"]) == len(mm):
+            print(f"[build] loading persisted index {cache}", flush=True)
+            idx.nlist = int(z["nlist"])
+            idx.list_cap = int(z["list_cap"])
+            idx.ntotal = int(z["ntotal"])
+            idx.centroids = jnp.asarray(z["centroids"])
+            idx.vecs8 = jnp.asarray(z["vecs8"])
+            idx.scales = jnp.asarray(z["scales"])
+            idx.starts = jnp.asarray(z["starts"])
+            idx.ids = jnp.asarray(z["ids"])
+            idx._trained = True
+            out.update(nlist=idx.nlist, list_cap=idx.list_cap,
+                       build_cached=True)
+            return idx
     t0 = time.perf_counter()
     idx.train(mm)
     t_train = time.perf_counter() - t0
@@ -95,6 +115,11 @@ def stage_build(root: str, out: dict):
     t_add = time.perf_counter() - t0
     print(f"[build] added {idx.ntotal:,} rows in {t_add:.0f}s "
           f"(list_cap={idx.list_cap})", flush=True)
+    np.savez(cache, nlist=idx.nlist, list_cap=idx.list_cap,
+             ntotal=idx.ntotal, centroids=np.asarray(idx.centroids),
+             vecs8=np.asarray(idx.vecs8), scales=np.asarray(idx.scales),
+             starts=np.asarray(idx.starts), ids=np.asarray(idx.ids))
+    print(f"[build] persisted store to {cache}", flush=True)
     out.update(nlist=idx.nlist, list_cap=idx.list_cap,
                train_sec=round(t_train, 1), add_sec=round(t_add, 1))
     return idx
@@ -164,9 +189,14 @@ def main():
         idx = stage_build(args.root, out_build)
         out.update(out_build)
 
+    def checkpoint_line():   # partial results survive a timeout
+        with open(os.path.join(args.root, "results.jsonl"), "a") as f:
+            f.write(json.dumps(out) + "\n")
+
     ids = None
     if "qps" in stages:
         ids = stage_qps(idx, mm, args.nq, args.k, out)
+        checkpoint_line()
 
     if "recall" in stages:
         q, _ = make_queries(mm, args.nq)
