@@ -27,7 +27,13 @@ def main():
     ap.add_argument("--d", type=int, default=128)
     ap.add_argument("--recall", action="store_true",
                     help="also report recall@k of the true top-1 vs exact")
+    ap.add_argument("--cpu", action="store_true",
+                    help="force the CPU backend (the env var alone does not "
+                         "override the TPU plugin; the tunnel is "
+                         "single-tenant, so host-only runs must opt out)")
     args = ap.parse_args()
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
 
     rng = np.random.default_rng(0)
     print(f"building DB: {args.n:,} x {args.d} ...", flush=True)

@@ -14,8 +14,14 @@ Stages (each skipped when its artifact already exists):
   2. build    — train (sqrt(N) coarse book on a 256/centroid subsample)
                 + streamed add() straight off the memmap.
   3. qps      — warm + timed search of NQ noisy-copy queries.
-  4. recall   — exact GT top-1 via the fused Pallas kernel streaming the
-                memmap through the chip in chunks; report recall@20.
+  4. recall   — recall@20 of the PLANTED ground truth: each query is a
+                noisy copy of a known row (cos ≈ 0.999 at 5% noise), and
+                the max cosine among N random unit vectors concentrates
+                at sqrt(2 ln N / d) ≈ 0.37 at N=53.6M, d=128 — so the
+                planted row IS the exact top-1 (probability of an
+                impostor is astronomically small) and no 27 GB exact
+                scan is needed. ``--exact_gt`` runs the full streamed
+                Pallas scan instead.
 
 Results are appended as JSON lines to RESULTS (default
 /tmp/nafp_100x/results.jsonl).
@@ -174,6 +180,9 @@ def main():
     ap.add_argument("--k", type=int, default=20)
     ap.add_argument("--root", default="/tmp/nafp_100x")
     ap.add_argument("--stages", default="gen,build,qps,recall")
+    ap.add_argument("--exact_gt", action="store_true",
+                    help="stream the full DB through the chip for exact "
+                         "ground truth instead of the planted ids")
     args = ap.parse_args()
     os.makedirs(args.root, exist_ok=True)
     stages = set(args.stages.split(","))
@@ -199,13 +208,19 @@ def main():
         checkpoint_line()
 
     if "recall" in stages:
-        q, _ = make_queries(mm, args.nq)
+        q, pick = make_queries(mm, args.nq)
         if ids is None:
             _, ids = idx.search(q, args.k)
-        gt = exact_gt_top1(mm, q)
+        if args.exact_gt:
+            gt = exact_gt_top1(mm, q)
+            out["gt"] = "exact-streamed"
+        else:
+            gt = pick           # planted GT == exact top-1 (see docstring)
+            out["gt"] = "planted"
         recall = float(np.mean([gt[i] in ids[i] for i in range(len(q))]))
         out["recall_at_k"] = round(recall, 4)
-        print(f"[recall] recall@{args.k} = {recall:.4f}", flush=True)
+        print(f"[recall] recall@{args.k} = {recall:.4f} ({out['gt']})",
+              flush=True)
 
     line = json.dumps(out)
     with open(os.path.join(args.root, "results.jsonl"), "a") as f:

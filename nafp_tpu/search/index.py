@@ -176,6 +176,26 @@ def _assign_block(data: jax.Array, cents: jax.Array):
     return jnp.argmax(sim, axis=1).astype(jnp.int32)
 
 
+@jax.jit
+def _assign_int8_block(q8: jax.Array, scales: jax.Array, cents: jax.Array):
+    """Nearest centroid of x = scale*q8: argmax_j 2*s*(q8·c_j) − |c_j|².
+    Ships 132 B/row instead of 512 (int8 codes + f32 scale)."""
+    c_sq = jnp.sum(cents ** 2, 1)
+    # bf16 MXU dot on TPU; CPU XLA lacks bf16xbf16->f32, use f32 there
+    cdt = jnp.bfloat16 if jax.default_backend() == "tpu" else jnp.float32
+    dots = jnp.dot(q8.astype(cdt), cents.T.astype(cdt),
+                   preferred_element_type=jnp.float32)
+    sim = 2.0 * scales[:, None] * dots - c_sq[None, :]
+    return jnp.argmax(sim, axis=1).astype(jnp.int32)
+
+
+def _assign_int8(q8: np.ndarray, scales: np.ndarray,
+                 centroids: jax.Array) -> np.ndarray:
+    """Host wrapper: int8-representation coarse assignment for one block."""
+    return np.asarray(_assign_int8_block(jnp.asarray(q8),
+                                         jnp.asarray(scales), centroids))
+
+
 def assign_to_centroids(data: np.ndarray, centroids: jax.Array,
                         block: int = 262144) -> np.ndarray:
     """Blockwise device-side nearest-centroid assignment."""
@@ -531,43 +551,43 @@ class IVFSQ8Index:
         """Quantize + list-sort the DB into the device store.
 
         Streams ``data`` block-by-block (accepts a disk memmap: no second
-        full-size f32 host copy is ever made — the only O(N) host buffers
-        are the int8 store itself plus f32 scales / int32 ids, ~56 B/row
-        at d=128 vs 512 B/row for a sorted f32 copy).
+        full-size f32 host copy is ever made). Each block is quantized
+        int8 FIRST and the coarse assignment runs on the quantized
+        representation — the one the scan will score at search time, and
+        4x less host->device traffic than shipping f32 (the dominant
+        build cost when the device sits behind a slow transport).
         """
         assert self._trained, "train() before add()"
         n = len(data)
-        # pass 1: coarse assignment, streamed off the source
+        # single source pass: quantize + assign from the int8 form
+        q8_flat = np.empty((n, self.d), np.int8)
+        scales_flat = np.empty(n, np.float32)
         assign = np.empty(n, np.int32)
         for s in range(0, n, block):
-            assign[s:s + block] = assign_to_centroids(
-                np.asarray(data[s:s + block], np.float32), self.centroids)
+            x = np.asarray(data[s:s + block], np.float32)
+            sc = np.maximum(np.abs(x).max(axis=1), 1e-12) / 127.0
+            q = np.clip(np.round(x / sc[:, None]), -127, 127).astype(np.int8)
+            q8_flat[s:s + block] = q
+            scales_flat[s:s + block] = sc.astype(np.float32)
+            assign[s:s + block] = _assign_int8(q, scales_flat[s:s + block],
+                                               self.centroids)
         counts = np.bincount(assign, minlength=self.nlist)
         self.list_cap = int(max(1, counts.max()))
         starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
 
-        # pass 2: quantize blocks and scatter rows to their sorted slots
+        # pure host permutation into the list-sorted padded layout: lists
+        # are contiguous with no inter-list padding (starts = plain cumsum),
+        # so stable sort order IS the final layout; `pad` tail rows only
+        # let the last list's slice read `cap` rows (masked by id −1).
         pad = self.list_cap
         q8 = np.zeros((n + pad, self.d), np.int8)
         scales = np.zeros(n + pad, np.float32)
         ids = np.full(n + pad, -1, np.int32)
-        fill = starts.copy()
-        for s in range(0, n, block):
-            x = np.asarray(data[s:s + block], np.float32)
-            a = assign[s:s + block]
-            idx = np.argsort(a, kind="stable")
-            a_sorted = a[idx]
-            cnt = np.bincount(a_sorted, minlength=self.nlist)
-            grp_start = np.concatenate([[0], np.cumsum(cnt)[:-1]])
-            rank = np.arange(len(a)) - grp_start[a_sorted]
-            pos = fill[a_sorted] + rank
-            xs = x[idx]
-            sc = np.maximum(np.abs(xs).max(axis=1), 1e-12) / 127.0
-            q8[pos] = np.clip(np.round(xs / sc[:, None]), -127,
-                              127).astype(np.int8)
-            scales[pos] = sc.astype(np.float32)
-            ids[pos] = (s + idx).astype(np.int32)
-            fill += cnt
+        order = np.argsort(assign, kind="stable")
+        q8[:n] = q8_flat[order]
+        scales[:n] = scales_flat[order]
+        ids[:n] = order.astype(np.int32)
+        del q8_flat, scales_flat
         self.vecs8 = jnp.asarray(q8)
         self.scales = jnp.asarray(scales)
         self.starts = jnp.asarray(starts.astype(np.int32))

@@ -28,8 +28,7 @@ from jax import shard_map
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from nafp_tpu.parallel.mesh import make_data_mesh
-from nafp_tpu.search.index import (IVFSQ8Index, _sq8_probe_scan,
-                                   assign_to_centroids)
+from nafp_tpu.search.index import IVFSQ8Index, _sq8_probe_scan
 
 
 class ShardedFlatIndex:
@@ -109,18 +108,31 @@ class ShardedIVFSQ8Index(IVFSQ8Index):
         self.mesh = mesh or make_data_mesh()
         self._search_jit = {}
 
-    def add(self, data: np.ndarray) -> None:
+    def add(self, data, block: int = 1 << 20) -> None:
         assert self._trained, "train() before add()"
-        data = np.asarray(data, np.float32)
         R = self.mesh.size
         nlist, d = self.nlist, self.d
-        assign = assign_to_centroids(data, self.centroids)
+        n = len(data)
+        # same one-pass quantize + int8-representation assignment as the
+        # single-device index (streams off disk memmaps, 132 B/row shipped)
+        from nafp_tpu.search.index import _assign_int8
+        q8_flat = np.empty((n, d), np.int8)
+        scales_flat = np.empty(n, np.float32)
+        assign = np.empty(n, np.int32)
+        for s in range(0, n, block):
+            x = np.asarray(data[s:s + block], np.float32)
+            sc = np.maximum(np.abs(x).max(axis=1), 1e-12) / 127.0
+            q8_flat[s:s + block] = np.clip(
+                np.round(x / sc[:, None]), -127, 127).astype(np.int8)
+            scales_flat[s:s + block] = sc.astype(np.float32)
+            assign[s:s + block] = _assign_int8(
+                q8_flat[s:s + block], scales_flat[s:s + block],
+                self.centroids)
         order = np.argsort(assign, kind="stable")
-        sorted_data = data[order]
         sorted_assign = assign[order]
         counts = np.bincount(assign, minlength=nlist)
         starts_g = np.concatenate([[0], np.cumsum(counts)[:-1]])
-        pos_in_list = np.arange(len(data)) - starts_g[sorted_assign]
+        pos_in_list = np.arange(n) - starts_g[sorted_assign]
         dev_of_row = (pos_in_list % R).astype(np.int32)
 
         cap_global = int(max(1, counts.max()))
@@ -130,10 +142,9 @@ class ShardedIVFSQ8Index(IVFSQ8Index):
         local_counts = np.stack(
             [np.maximum(counts - r + R - 1, 0) // R for r in range(R)])
 
-        scales_all = np.maximum(np.abs(sorted_data).max(axis=1),
-                                1e-12) / 127.0
-        q8_all = np.clip(np.round(sorted_data / scales_all[:, None]),
-                         -127, 127).astype(np.int8)
+        scales_all = scales_flat[order]
+        q8_all = q8_flat[order]
+        del q8_flat, scales_flat
 
         l_max = int(local_counts.sum(axis=1).max()) + self.list_cap
         vecs8 = np.zeros((R, l_max, d), np.int8)
