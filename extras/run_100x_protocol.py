@@ -117,15 +117,11 @@ def stage_build(root: str, out: dict):
     t_train = time.perf_counter() - t0
     print(f"[build] trained nlist={idx.nlist} in {t_train:.0f}s", flush=True)
     t0 = time.perf_counter()
-    idx.add(mm)
-    t_add = time.perf_counter() - t0
+    idx.add(mm, persist_path=cache)   # npz saved from host arrays,
+    t_add = time.perf_counter() - t0  # BEFORE the device upload
     print(f"[build] added {idx.ntotal:,} rows in {t_add:.0f}s "
-          f"(list_cap={idx.list_cap})", flush=True)
-    np.savez(cache, nlist=idx.nlist, list_cap=idx.list_cap,
-             ntotal=idx.ntotal, centroids=np.asarray(idx.centroids),
-             vecs8=np.asarray(idx.vecs8), scales=np.asarray(idx.scales),
-             starts=np.asarray(idx.starts), ids=np.asarray(idx.ids))
-    print(f"[build] persisted store to {cache}", flush=True)
+          f"(list_cap={idx.list_cap}); store persisted to {cache}",
+          flush=True)
     out.update(nlist=idx.nlist, list_cap=idx.list_cap,
                train_sec=round(t_train, 1), add_sec=round(t_add, 1))
     return idx

@@ -547,7 +547,8 @@ class IVFSQ8Index:
                                 key=jax.random.PRNGKey(seed))
         self._trained = True
 
-    def add(self, data, block: int = 1 << 20) -> None:
+    def add(self, data, block: int = 1 << 20,
+            persist_path: Optional[str] = None) -> None:
         """Quantize + list-sort the DB into the device store.
 
         Streams ``data`` block-by-block (accepts a disk memmap: no second
@@ -556,6 +557,10 @@ class IVFSQ8Index:
         representation — the one the scan will score at search time, and
         4x less host->device traffic than shipping f32 (the dominant
         build cost when the device sits behind a slow transport).
+
+        ``persist_path``: save the built store (npz) from the HOST arrays
+        before the device upload — reading them back off the device later
+        costs a full device->host transfer of the store.
         """
         assert self._trained, "train() before add()"
         n = len(data)
@@ -588,11 +593,16 @@ class IVFSQ8Index:
         scales[:n] = scales_flat[order]
         ids[:n] = order.astype(np.int32)
         del q8_flat, scales_flat
+        self.ntotal = n
+        if persist_path:
+            np.savez(persist_path, nlist=self.nlist, list_cap=self.list_cap,
+                     ntotal=n, centroids=np.asarray(self.centroids),
+                     vecs8=q8, scales=scales,
+                     starts=starts.astype(np.int32), ids=ids)
         self.vecs8 = jnp.asarray(q8)
         self.scales = jnp.asarray(scales)
         self.starts = jnp.asarray(starts.astype(np.int32))
         self.ids = jnp.asarray(ids)
-        self.ntotal = n
 
     def _search_block(self, q: jax.Array, k: int):
         return _ivfsq8_search_block(
