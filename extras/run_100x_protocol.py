@@ -97,8 +97,15 @@ def stage_build(root: str, out: dict):
     idx = IVFSQ8Index(d=D)
     cache = os.path.join(root, "ivfsq8_store.npz")
     if os.path.exists(cache):
-        z = np.load(cache)
-        if int(z["ntotal"]) == len(mm):
+        try:
+            z = np.load(cache)
+            ok = int(z["ntotal"]) == len(mm)
+        except Exception as e:     # partial write from a killed run
+            print(f"[build] discarding unreadable cache {cache}: {e}",
+                  flush=True)
+            os.remove(cache)
+            ok = False
+        if ok:
             print(f"[build] loading persisted index {cache}", flush=True)
             idx.nlist = int(z["nlist"])
             idx.list_cap = int(z["list_cap"])
