@@ -564,45 +564,75 @@ class IVFSQ8Index:
         """
         assert self._trained, "train() before add()"
         n = len(data)
-        # single source pass: quantize + assign from the int8 form
+        # single source pass: quantize, park the int8 block on the device
+        # (it is needed there anyway), and assign from the int8 form. The
+        # multi-GB store therefore crosses the host->device link ONCE.
         q8_flat = np.empty((n, self.d), np.int8)
         scales_flat = np.empty(n, np.float32)
         assign = np.empty(n, np.int32)
+        buf = jnp.zeros((n, self.d), jnp.int8)       # unsorted device copy
         for s in range(0, n, block):
             x = np.asarray(data[s:s + block], np.float32)
             sc = np.maximum(np.abs(x).max(axis=1), 1e-12) / 127.0
             q = np.clip(np.round(x / sc[:, None]), -127, 127).astype(np.int8)
             q8_flat[s:s + block] = q
             scales_flat[s:s + block] = sc.astype(np.float32)
-            assign[s:s + block] = _assign_int8(q, scales_flat[s:s + block],
-                                               self.centroids)
+            blk = jnp.asarray(q)
+            buf = _update_rows(buf, blk, jnp.asarray(s, jnp.int32))
+            assign[s:s + block] = np.asarray(_assign_int8_block(
+                blk, jnp.asarray(sc.astype(np.float32)), self.centroids))
         counts = np.bincount(assign, minlength=self.nlist)
         self.list_cap = int(max(1, counts.max()))
         starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
 
-        # pure host permutation into the list-sorted padded layout: lists
-        # are contiguous with no inter-list padding (starts = plain cumsum),
-        # so stable sort order IS the final layout; `pad` tail rows only
-        # let the last list's slice read `cap` rows (masked by id −1).
+        # list-sorted padded layout: lists are contiguous with no
+        # inter-list padding (starts = plain cumsum), so stable sort order
+        # IS the final layout; `pad` tail rows only let the last list's
+        # slice read `cap` rows (masked by id −1).
         pad = self.list_cap
-        q8 = np.zeros((n + pad, self.d), np.int8)
+        order = np.argsort(assign, kind="stable")
         scales = np.zeros(n + pad, np.float32)
         ids = np.full(n + pad, -1, np.int32)
-        order = np.argsort(assign, kind="stable")
-        q8[:n] = q8_flat[order]
         scales[:n] = scales_flat[order]
         ids[:n] = order.astype(np.int32)
-        del q8_flat, scales_flat
         self.ntotal = n
         if persist_path:
+            # host-permuted copy only for the npz (no device read-back)
+            q8s = np.zeros((n + pad, self.d), np.int8)
+            q8s[:n] = q8_flat[order]
             np.savez(persist_path, nlist=self.nlist, list_cap=self.list_cap,
                      ntotal=n, centroids=np.asarray(self.centroids),
-                     vecs8=q8, scales=scales,
+                     vecs8=q8s, scales=scales,
                      starts=starts.astype(np.int32), ids=ids)
-        self.vecs8 = jnp.asarray(q8)
-        self.scales = jnp.asarray(scales)
+            del q8s
+        del scales_flat
+
+        # permute into the sorted layout ON DEVICE (chunked row gathers
+        # into a donated target — no second multi-GB host->device ship).
+        # The device transiently holds ~2x the store; if it cannot, fall
+        # back to sorting on the host and re-shipping chunked.
+        try:
+            self.vecs8 = _device_permute_rows(buf, order, n + pad)
+            del buf
+        except Exception as e:
+            del buf
+            print(f"[ivf-sq8] device permute failed ({type(e).__name__}); "
+                  "falling back to host sort + chunked upload")
+            q8s = np.zeros((n + pad, self.d), np.int8)
+            q8s[:n] = q8_flat[order]
+            self.vecs8 = _chunked_device_put(q8s)
+            del q8s
+        del q8_flat
+        self.scales = _chunked_device_put(scales)
         self.starts = jnp.asarray(starts.astype(np.int32))
-        self.ids = jnp.asarray(ids)
+        self.ids = _chunked_device_put(ids)
+
+    def _publish(self, q8, scales, starts, ids) -> None:
+        """Move an already-sorted host store to the device (chunked)."""
+        self.vecs8 = _chunked_device_put(q8)
+        self.scales = _chunked_device_put(scales)
+        self.starts = jnp.asarray(starts.astype(np.int32))
+        self.ids = _chunked_device_put(ids)
 
     def _search_block(self, q: jax.Array, k: int):
         return _ivfsq8_search_block(
@@ -681,6 +711,53 @@ def _ivfsq8_search_block(q, centroids, vecs8, scales, starts_arr, ids_arr,
     d2, sel = jax.lax.top_k(bv, k)
     ids = jnp.take_along_axis(bi, sel, axis=1)
     return d2, jnp.where(jnp.isfinite(d2), ids, -1)
+
+
+@functools.partial(jax.jit, donate_argnums=(0,))
+def _update_rows(buf: jax.Array, blk: jax.Array, start: jax.Array):
+    return jax.lax.dynamic_update_slice_in_dim(buf, blk, start, axis=0)
+
+
+@functools.partial(jax.jit, donate_argnums=(0,))
+def _gather_rows_into(dst: jax.Array, src: jax.Array, idxs: jax.Array,
+                      start: jax.Array):
+    rows = jnp.take(src, idxs, axis=0)
+    return jax.lax.dynamic_update_slice_in_dim(dst, rows, start, axis=0)
+
+
+def _device_permute_rows(src: jax.Array, order: np.ndarray,
+                         out_rows: int, chunk: int = 1 << 20) -> jax.Array:
+    """dst[:len(order)] = src[order] computed on device: chunked gathers
+    into a donated destination. Only `order` (4 B/row) crosses the wire;
+    rows past len(order) stay zero."""
+    dst = jnp.zeros((out_rows,) + src.shape[1:], src.dtype)
+    n = len(order)
+    nfull = (n // chunk) * chunk
+    for s in range(0, nfull, chunk):
+        dst = _gather_rows_into(dst, src, jnp.asarray(order[s:s + chunk]),
+                                jnp.asarray(s, jnp.int32))
+    if nfull < n:
+        dst = _gather_rows_into(dst, src, jnp.asarray(order[nfull:]),
+                                jnp.asarray(nfull, jnp.int32))
+    return dst
+
+
+def _chunked_device_put(arr: np.ndarray,
+                        chunk_bytes: int = 128 << 20) -> jax.Array:
+    """Device-put a large host array in bounded-size row chunks."""
+    nbytes = arr.size * arr.itemsize
+    if nbytes <= chunk_bytes:
+        return jnp.asarray(arr)
+    rows = max(1, chunk_bytes // max(1, arr[0:1].size * arr.itemsize))
+    buf = jnp.zeros(arr.shape, arr.dtype)
+    nfull = (len(arr) // rows) * rows
+    for s in range(0, nfull, rows):           # one executable (full blocks)
+        buf = _update_rows(buf, jnp.asarray(np.ascontiguousarray(
+            arr[s:s + rows])), jnp.asarray(s, jnp.int32))
+    if nfull < len(arr):                      # one more for the tail shape
+        buf = _update_rows(buf, jnp.asarray(np.ascontiguousarray(
+            arr[nfull:])), jnp.asarray(nfull, jnp.int32))
+    return buf
 
 
 # ---------------------------------------------------------------------------
