@@ -134,16 +134,25 @@ def stage_build(root: str, out: dict):
     return idx
 
 
-def stage_qps(idx, mm, nq: int, k: int, out: dict):
-    q, _ = make_queries(mm, nq)
-    idx.search(q, k)                      # warm with identical shapes
-    t0 = time.perf_counter()
-    _, ids = idx.search(q, k)
-    dt = time.perf_counter() - t0
-    out.update(nq=nq, k=k, qps=round(nq / dt, 1),
-               search_sec=round(dt, 2))
-    print(f"[qps] {out['qps']} queries/sec ({dt:.1f}s for {nq})",
-          flush=True)
+def stage_qps(idx, mm, nq: int, k: int, out: dict, nprobes=None):
+    """Timed search; optionally sweep nprobe values (recall/QPS curve —
+    nprobe is a compile-time constant, so each value costs one extra
+    compile against the already-resident store)."""
+    q, pick = make_queries(mm, nq)
+    sweep = []
+    for np_ in (nprobes or [idx.nprobe]):
+        idx.nprobe = np_
+        idx.search(q, k)                  # warm with identical shapes
+        t0 = time.perf_counter()
+        _, ids = idx.search(q, k)
+        dt = time.perf_counter() - t0
+        rec = float(np.mean([pick[i] in ids[i] for i in range(len(q))]))
+        sweep.append({"nprobe": np_, "qps": round(nq / dt, 1),
+                      "recall_at_k": round(rec, 4)})
+        print(f"[qps] nprobe={np_}: {sweep[-1]['qps']} queries/sec "
+              f"recall@{k} {rec:.4f}", flush=True)
+    out.update(nq=nq, k=k, qps=sweep[-1]["qps"],
+               search_sec=round(dt, 2), sweep=sweep)
     return ids
 
 
@@ -183,6 +192,9 @@ def main():
     ap.add_argument("--k", type=int, default=20)
     ap.add_argument("--root", default="/tmp/nafp_100x")
     ap.add_argument("--stages", default="gen,build,qps,recall")
+    ap.add_argument("--nprobes", default=None,
+                    help="comma-separated nprobe sweep for the qps stage, "
+                         "e.g. '40,80,128' (default: the index's 40)")
     ap.add_argument("--exact_gt", action="store_true",
                     help="stream the full DB through the chip for exact "
                          "ground truth instead of the planted ids")
@@ -207,7 +219,9 @@ def main():
 
     ids = None
     if "qps" in stages:
-        ids = stage_qps(idx, mm, args.nq, args.k, out)
+        nprobes = ([int(x) for x in args.nprobes.split(",")]
+                   if args.nprobes else None)
+        ids = stage_qps(idx, mm, args.nq, args.k, out, nprobes=nprobes)
         checkpoint_line()
 
     if "recall" in stages:
