@@ -194,3 +194,20 @@ def test_ivfpq_streamed_memmap_add_matches_ram(rng, tmp_path):
     _, ia = a.search(q, k=5)
     _, ib = b.search(q, k=5)
     np.testing.assert_array_equal(ia, ib)
+
+
+def test_chunked_device_put_and_permute(rng):
+    """Chunked uploads and the on-device row permute must be exact for
+    multi-chunk sizes, tails, and exact-multiple shapes."""
+    from nafp_tpu.search.index import _chunked_device_put, \
+        _device_permute_rows
+    a = rng.integers(-127, 127, (10_000, 128)).astype(np.int8)
+    out = _chunked_device_put(a, chunk_bytes=1 << 18)   # ~5 chunks + tail
+    np.testing.assert_array_equal(np.asarray(out), a)
+    b = rng.standard_normal((4096, 16)).astype(np.float32)  # exact multiple
+    np.testing.assert_array_equal(
+        np.asarray(_chunked_device_put(b, 1 << 16)), b)
+    order = rng.permutation(len(a))
+    perm = _device_permute_rows(out, order, len(a) + 7, chunk=1000)
+    np.testing.assert_array_equal(np.asarray(perm)[:len(a)], a[order])
+    assert (np.asarray(perm)[len(a):] == 0).all()       # pad rows zero
