@@ -89,7 +89,7 @@ PQ search_layer(const Hnsw& h, const float* q, int enter, int ef, int layer,
   return best;
 }
 
-// Simple neighbor selection: keep the M closest.
+// Simple neighbor selection: keep the M closest (used for query results).
 std::vector<int> select_neighbors(PQ best, int m) {
   std::vector<std::pair<float, int>> all;
   while (!best.empty()) {
@@ -100,6 +100,52 @@ std::vector<int> select_neighbors(PQ best, int m) {
   std::vector<int> out;
   for (int i = 0; i < static_cast<int>(all.size()) && i < m; ++i)
     out.push_back(all[i].second);
+  return out;
+}
+
+// Heuristic neighbor selection (Malkov & Yashunin Alg. 4) for GRAPH edges:
+// scan candidates closest-first and keep c only if it is closer to the
+// query point than to every already-kept neighbor — this prunes edges that
+// merely re-cover one dense direction and keeps edges that bridge distinct
+// regions, which is what gives HNSW its navigability (plain keep-M-closest
+// built graphs that measured recall@20 0.69 @ 500k; the heuristic is the
+// known fix). keep_pruned (Alg. 4's keepPrunedConnections) fills remaining
+// slots with the closest pruned candidates so the NEW node keeps full
+// degree; back-link shrinks pass false (as hnswlib/faiss do) so pruned
+// lists settle below capacity instead of re-shrinking on every insert.
+std::vector<int> select_neighbors_heuristic(const Hnsw& h, const float* q,
+                                            PQ best, int m,
+                                            bool keep_pruned) {
+  std::vector<std::pair<float, int>> all;
+  while (!best.empty()) {
+    all.push_back(best.top());
+    best.pop();
+  }
+  std::sort(all.begin(), all.end());  // closest first
+  std::vector<int> out;
+  std::vector<int> pruned;
+  for (const auto& [dc, c] : all) {
+    if (static_cast<int>(out.size()) >= m) break;
+    const float* cv = h.data.data() + static_cast<int64_t>(c) * h.d;
+    bool diverse = true;
+    for (int s : out) {
+      if (h.dist(cv, s) < dc) {  // c is closer to a kept neighbor than to q
+        diverse = false;
+        break;
+      }
+    }
+    if (diverse) {
+      out.push_back(c);
+    } else if (keep_pruned) {
+      pruned.push_back(c);
+    }
+  }
+  if (keep_pruned) {
+    for (int c : pruned) {
+      if (static_cast<int>(out.size()) >= m) break;
+      out.push_back(c);
+    }
+  }
   return out;
 }
 
@@ -138,19 +184,27 @@ void insert(Hnsw& h, int id, std::vector<uint8_t>& visited,
     touched.clear();
     PQ best = search_layer(h, q, cur, h.ef_c, l, visited, touched);
     int m = (l == 0) ? 2 * h.M : h.M;
-    auto nbs = select_neighbors(best, m);
+    auto nbs = select_neighbors_heuristic(h, q, std::move(best), m,
+                                          /*keep_pruned=*/true);
     h.links[l][id] = nbs;
     if (!nbs.empty()) cur = nbs[0];
     for (int nb : nbs) {
       auto& back = h.links[l][nb];
       back.push_back(id);
-      if (static_cast<int>(back.size()) > m) {
-        // shrink: keep the m closest to nb
+      // Amortized shrink: let lists overshoot to 1.5*m before pruning back
+      // to m. On distributions where the diversity heuristic rarely fires
+      // (e.g. near-IID vectors, where candidates are mutually orthogonal)
+      // a shrink-at-m policy re-runs the O(m^2)-dot heuristic on EVERY
+      // back-link — ~30k dots/insert, 10x the beam cost. The slack cuts
+      // shrink frequency ~m/2-fold; searches just scan the slightly longer
+      // lists (bounded degree 1.5*m), which only helps recall.
+      if (static_cast<int>(back.size()) > m + m / 2) {
+        // shrink with the diversity heuristic, no refill (see above)
         const float* nbv = h.data.data() + static_cast<int64_t>(nb) * h.d;
-        std::sort(back.begin(), back.end(), [&](int a, int b) {
-          return h.dist(nbv, a) < h.dist(nbv, b);
-        });
-        back.resize(m);
+        PQ cand;
+        for (int x : back) cand.emplace(h.dist(nbv, x), x);
+        back = select_neighbors_heuristic(h, nbv, std::move(cand), m,
+                                          /*keep_pruned=*/false);
       }
     }
   }
