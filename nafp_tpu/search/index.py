@@ -634,6 +634,21 @@ class IVFSQ8Index:
         self.starts = jnp.asarray(starts.astype(np.int32))
         self.ids = _chunked_device_put(ids)
 
+    @classmethod
+    def load(cls, path: str, nprobe: int = 40) -> "IVFSQ8Index":
+        """Load a store persisted by ``add(persist_path=...)``; uploads in
+        bounded chunks (a 100x-scale store is ~7 GB — one monolithic
+        device_put would hit the transfer-buffer limits chunking avoids)."""
+        z = np.load(path)
+        idx = cls(d=int(z["centroids"].shape[1]), nlist=int(z["nlist"]),
+                  nprobe=nprobe)
+        idx.list_cap = int(z["list_cap"])
+        idx.ntotal = int(z["ntotal"])
+        idx.centroids = jnp.asarray(z["centroids"])
+        idx._publish(z["vecs8"], z["scales"], z["starts"], z["ids"])
+        idx._trained = True
+        return idx
+
     def _search_block(self, q: jax.Array, k: int):
         return _ivfsq8_search_block(
             q, self.centroids, self.vecs8, self.scales, self.starts,
@@ -781,16 +796,20 @@ def get_index(index_type: str, train_data: np.ndarray,
                          refine=(t == "ivfpq-rr"))
         idx.train(train_data, max_train=max_train)
         return idx
+    # ivf-sq8's kmeans budget scales with its auto nlist (256 rows/centroid,
+    # FAISS practice); the generic 1e7 default would subsample+ship 5 GB f32
+    # at 100x scale for no recall gain. An explicitly smaller cap is honored.
+    sq8_cap = None if max_train >= int(1e7) else max_train
     if t == "ivf-sq8":
         idx = IVFSQ8Index(d=d, nprobe=nprobe)  # nlist auto ~ sqrt(N)
-        idx.train(train_data, max_train=max_train)
+        idx.train(train_data, max_train=sq8_cap)
         return idx
     if t == "ivf-sq8-sharded":
         # the scalable index with every inverted list row-sharded over the
         # device mesh (capacity + per-probe compute scale with mesh size)
         from nafp_tpu.search.sharded import ShardedIVFSQ8Index
         idx = ShardedIVFSQ8Index(d=d, nprobe=nprobe)
-        idx.train(train_data, max_train=max_train)
+        idx.train(train_data, max_train=sq8_cap)
         return idx
     if t == "l2-sharded":
         # exact search with the DB row-sharded over the device mesh
