@@ -71,8 +71,8 @@ class LayerNorm2d(nn.Module):
     epsilon: float = 1e-3  # TF LayerNormalization default
 
     @nn.compact
-    def __call__(self, x: jax.Array, apply_elu: bool = False,
-                 train: bool = True) -> jax.Array:
+    def __call__(self, x: jax.Array,
+                 apply_elu: bool = False) -> jax.Array:
         shape = x.shape[1:]
         gamma = self.param("gamma", nn.initializers.ones, shape, jnp.float32)
         beta = self.param("beta", nn.initializers.zeros, shape, jnp.float32)
@@ -94,10 +94,10 @@ class ConvLayer(nn.Module):
     bn_axis: Any = None  # mesh axis name for cross-replica BN stats
 
     def _act_norm(self, x, train: bool):
-        """ELU then norm; for layer_norm2d the pair is one fused module
-        (single-pass Pallas kernel at inference)."""
+        """ELU then norm; for layer_norm2d the pair lives in one module so
+        XLA fuses the activation into the normalization's reduction pass."""
         if self.norm == "layer_norm2d":
-            return LayerNorm2d()(x, apply_elu=True, train=train)
+            return LayerNorm2d()(x, apply_elu=True)
         x = nn.elu(x)
         if self.norm == "layer_norm1d":
             return nn.LayerNorm(epsilon=1e-3, dtype=jnp.float32)(x).astype(x.dtype)

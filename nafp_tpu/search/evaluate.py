@@ -29,7 +29,6 @@ dynamic-shape recompile would cost.
 from __future__ import annotations
 
 import functools
-import glob
 import os
 import time
 from typing import Optional, Sequence
@@ -97,6 +96,21 @@ def _score_candidates_host(q_seq, cands, recon, sl, n_seg):
 
 # Above this size the merged dummy_db+db array lives on disk, not RAM.
 MERGE_RAM_LIMIT = 8 << 30
+
+
+def _icassp_asset_path() -> str:
+    """Path of the packaged ICASSP-2021 test-id asset. Resolved from the
+    package only — no CWD-wide globbing (a recursive ./** walk is O(tree)
+    and can silently pick up an unrelated fixture copy). Raises with a
+    clear message when the asset is missing."""
+    asset = os.path.normpath(os.path.join(
+        os.path.dirname(__file__), os.pardir, "assets",
+        "test_ids_icassp2021.npy"))
+    if not os.path.exists(asset):
+        raise FileNotFoundError(
+            f"packaged ICASSP test-id asset missing at {asset}; pass "
+            "test_ids='all', an integer count, or a path to a .npy file")
+    return asset
 
 
 def _merged_recon(emb_dir: str, dummy_db, db) -> np.ndarray:
@@ -179,9 +193,15 @@ def eval_fingerprints(emb_dir: str,
                       k_probe: int = 20,
                       max_train: int = int(1e7),
                       display_interval: int = 10,
-                      seed: int = 42) -> np.ndarray:
+                      seed: int = 42,
+                      index_cache: Optional[str] = None) -> np.ndarray:
     """Run the full search experiment; returns hit-rate matrix
-    (4, n_seq_len) in percent and writes raw_score.npy / test_ids.npy."""
+    (4, n_seq_len) in percent and writes raw_score.npy / test_ids.npy /
+    eval_summary.json.
+
+    ``index_cache``: npz path for the built ivf-sq8 store — loaded when
+    present (skipping the hours-long 100x-scale add), written after a
+    fresh build. Ignored for other index types."""
     seq_lens = np.asarray(list(map(int, str(test_seq_len).split())))
 
     query, query_shape = load_memmap(emb_dir, "query")
@@ -194,11 +214,25 @@ def eval_fingerprints(emb_dir: str,
     del dummy_db
 
     t0 = time.time()
-    index = get_index(index_type, full_db, max_train=max_train)
-    if hasattr(index, "add") and index.ntotal == 0:
-        index.add(full_db)
+    index = None
+    if index_cache and index_type == "ivf-sq8" and os.path.exists(index_cache):
+        from nafp_tpu.search.index import IVFSQ8Index
+        try:
+            if int(np.load(index_cache)["ntotal"]) == len(full_db):
+                index = IVFSQ8Index.load(index_cache)
+                print(f"loaded persisted ivf-sq8 store {index_cache}")
+        except Exception as e:     # partial write from a killed run
+            print(f"ignoring unreadable index cache {index_cache}: {e}")
+    if index is None:
+        index = get_index(index_type, full_db, max_train=max_train)
+        if hasattr(index, "add") and index.ntotal == 0:
+            if index_cache and index_type == "ivf-sq8":
+                index.add(full_db, persist_path=index_cache)
+            else:
+                index.add(full_db)
+    t_build = time.time() - t0
     print(f"index[{index_type}] over {len(full_db):,} items "
-          f"({time.time() - t0:.2f}s)")
+          f"({t_build:.2f}s)")
     # Raw vectors for sequence rescoring: device-resident when they fit
     # comfortably in HBM, host (memmap-backed) gather otherwise — the 100x
     # protocol (53.6M x 128 f32 = 27 GB) cannot live on one chip.
@@ -214,10 +248,7 @@ def eval_fingerprints(emb_dir: str,
     if isinstance(test_ids, str) and test_ids.lower() == "all":
         ids = np.arange(0, len(query) - int(seq_lens.max()), 1)
     elif isinstance(test_ids, str) and test_ids.lower() == "icassp":
-        hits = glob.glob(os.path.join(os.path.dirname(__file__),
-                                      "../assets/test_ids_icassp2021.npy"))
-        hits += glob.glob("./**/test_ids_icassp2021.npy", recursive=True)
-        ids = np.load(hits[0])
+        ids = np.load(_icassp_asset_path())
     elif isinstance(test_ids, str) and test_ids.isnumeric():
         rng = np.random.default_rng(seed)
         ids = rng.permutation(len(query) - int(seq_lens.max()))[:int(test_ids)]
@@ -268,5 +299,17 @@ def eval_fingerprints(emb_dir: str,
             np.concatenate([top1_exact, top1_near, top3_exact, top10_exact],
                            axis=1))
     np.save(os.path.join(emb_dir, "test_ids.npy"), ids)
-    print(f"Saved test_ids and raw score to {emb_dir}.")
+    import json
+    with open(os.path.join(emb_dir, "eval_summary.json"), "w") as f:
+        json.dump({"index_type": index_type, "n_db": int(len(full_db)),
+                   "n_test": int(n_test), "k_probe": int(k_probe),
+                   "seq_lens": [int(x) for x in seq_lens],
+                   "build_sec": round(t_build, 1),
+                   "search_sec": round(elapsed, 1),
+                   "ms_per_query": round(ms_per_query, 3),
+                   "rates": {name: [round(float(x), 2) for x in row]
+                             for name, row in zip(
+                                 ("top1_exact", "top1_near", "top3",
+                                  "top10"), rates)}}, f, indent=1)
+    print(f"Saved test_ids, raw score and eval_summary.json to {emb_dir}.")
     return rates

@@ -198,6 +198,20 @@ def test_tail_query_scores_truncated_window():
     np.testing.assert_allclose(s[mask], s_h[mask], rtol=1e-4)
 
 
+def test_icassp_asset_resolution(monkeypatch):
+    """'icassp' test ids come from the packaged asset only; a missing
+    asset errors loudly instead of falling back to a CWD-wide glob."""
+    import nafp_tpu.search.evaluate as E
+    ids = np.load(E._icassp_asset_path())
+    assert ids.ndim == 1 and len(ids) == 2000  # the fixed 2000-id protocol
+    real_exists = os.path.exists
+    monkeypatch.setattr(
+        E.os.path, "exists",
+        lambda p: False if p.endswith(".npy") else real_exists(p))
+    with pytest.raises(FileNotFoundError, match="test_ids='all'"):
+        E._icassp_asset_path()
+
+
 def test_merged_recon_memmap(tmp_path, monkeypatch):
     """Past MERGE_RAM_LIMIT the dummy+db merge is an on-disk memmap with
     identical content to the in-RAM concatenate."""
