@@ -1,0 +1,150 @@
+#!/usr/bin/env python
+"""The TRUE sequence-level ICASSP protocol at 100x scale.
+
+``run_100x_protocol.py`` measures raw ANN QPS/recall on IID vectors; the
+reference's 100k-song evaluation is the *sequence* eval — per-segment
+top-k, offset compensation, diagonal re-ranking over a real dummy_db
+(``eval/eval_faiss.py:147-148,204-243``). This runner synthesizes
+SONG-STRUCTURED fingerprints (unit-sphere random walks, so hop-adjacent
+segments correlate like real 0.5 s-hop fingerprints do) at the full scale
+(default 100k dummy songs x 536 segs = 53.6 M rows + the 500-song
+query/db set) and drives ``eval_fingerprints`` end to end with the fixed
+ICASSP test ids — exercising the on-disk merged recon
+(``search/evaluate.py``) and host-side rescoring at the scale they were
+written for.
+
+Song model: x_0 ~ uniform(S^127); x_{t+1} = normalize(a·x_t + √(1−a²)·ε).
+``a`` (default 0.7) sets the hop-adjacent cosine, matching the qualitative
+correlation of real fingerprints (half the audio is shared between
+neighboring 1 s windows at 0.5 s hop). Queries are per-segment noisy
+copies of db rows: q = normalize(db + s·ε); the default s=0.066 gives
+cos(q, db) ≈ 0.80 — a challenging-but-learnable per-segment operating
+point so the sequence re-ranker's length curve is informative (the max
+impostor cosine among ~5e7 walk vectors concentrates near
+sqrt(2 ln N / d) ≈ 0.53, and a query's own hop-neighbors sit near
+0.7·0.80 = 0.56).
+
+Stages (skipped when their artifact exists):
+  gen   — dummy_db.mm / db.mm / query.mm (+ *_shape.npy) under ROOT.
+  eval  — eval_fingerprints(index, test_ids='icassp'); the ivf-sq8 store
+          is persisted so a rerun skips the hours-long add.
+
+Usage:
+    python extras/run_100x_sequence.py [--root /tmp/nafp_seq100x]
+        [--n_dummy_songs 100000] [--segs_per_song 536] [--index ivf-sq8]
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_tpu_cache")
+
+D = 128
+
+
+def _write_walks(path_base: str, n_songs: int, segs: int, alpha: float,
+                 rng: np.random.Generator, song_chunk: int = 4096) -> None:
+    """Write (n_songs*segs, D) unit random-walk fingerprints as {base}.mm
+    + {base}_shape.npy, blockwise (no full array in RAM)."""
+    n = n_songs * segs
+    mm = np.memmap(path_base + ".mm", np.float32, "w+", shape=(n, D))
+    beta = float(np.sqrt(1.0 - alpha * alpha))
+    t0 = time.perf_counter()
+    for s0 in range(0, n_songs, song_chunk):
+        ns = min(song_chunk, n_songs - s0)
+        block = np.empty((ns, segs, D), np.float32)
+        x = rng.standard_normal((ns, D), dtype=np.float32)
+        x /= np.linalg.norm(x, axis=1, keepdims=True)
+        block[:, 0] = x
+        for t in range(1, segs):
+            x = alpha * x + beta * rng.standard_normal((ns, D),
+                                                       dtype=np.float32)
+            x /= np.linalg.norm(x, axis=1, keepdims=True)
+            block[:, t] = x
+        mm[s0 * segs:(s0 + ns) * segs] = block.reshape(-1, D)
+        print(f"  {path_base}: {(s0 + ns):,}/{n_songs:,} songs "
+              f"({time.perf_counter()-t0:.0f}s)", flush=True)
+    mm.flush()
+    np.save(path_base + "_shape.npy", np.asarray((n, D)))
+
+
+def stage_gen(root: str, n_dummy_songs: int, dummy_segs: int,
+              n_db_songs: int, db_segs: int, alpha: float,
+              noise: float) -> None:
+    done = os.path.join(root, "gen.done.json")
+    want = dict(n_dummy_songs=n_dummy_songs, dummy_segs=dummy_segs,
+                n_db_songs=n_db_songs, db_segs=db_segs, alpha=alpha,
+                noise=noise)
+    if os.path.exists(done) and json.load(open(done)) == want:
+        print("[gen] exists", flush=True)
+        return
+    print(f"[gen] dummy_db {n_dummy_songs:,} songs x {dummy_segs} segs "
+          f"({n_dummy_songs * dummy_segs * D * 4 / 2**30:.1f} GiB)",
+          flush=True)
+    rng = np.random.default_rng(2024)
+    _write_walks(os.path.join(root, "dummy_db"), n_dummy_songs, dummy_segs,
+                 alpha, rng)
+    print(f"[gen] db {n_db_songs} songs x {db_segs} segs", flush=True)
+    _write_walks(os.path.join(root, "db"), n_db_songs, db_segs, alpha, rng)
+    db = np.memmap(os.path.join(root, "db.mm"), np.float32, "r",
+                   shape=(n_db_songs * db_segs, D))
+    q = np.asarray(db) + noise * rng.standard_normal(
+        (len(db), D)).astype(np.float32)
+    q /= np.linalg.norm(q, axis=1, keepdims=True)
+    qmm = np.memmap(os.path.join(root, "query.mm"), np.float32, "w+",
+                    shape=q.shape)
+    qmm[:] = q
+    qmm.flush()
+    np.save(os.path.join(root, "query_shape.npy"), np.asarray(q.shape))
+    cos = float(np.mean(np.sum(q * db, axis=1)))
+    print(f"[gen] query cos(q, db) mean = {cos:.4f}", flush=True)
+    with open(done, "w") as f:
+        json.dump(want, f)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--root", default="/tmp/nafp_seq100x")
+    ap.add_argument("--n_dummy_songs", type=int, default=100_000)
+    ap.add_argument("--segs_per_song", type=int, default=536)
+    ap.add_argument("--n_db_songs", type=int, default=500)
+    ap.add_argument("--db_segs", type=int, default=59)   # 30 s @ 0.5 s hop
+    ap.add_argument("--alpha", type=float, default=0.7)
+    ap.add_argument("--noise", type=float, default=0.066)
+    ap.add_argument("--index", default="ivf-sq8")
+    ap.add_argument("--test_ids", default="icassp")
+    ap.add_argument("--stages", default="gen,eval")
+    args = ap.parse_args()
+    os.makedirs(args.root, exist_ok=True)
+    stages = set(args.stages.split(","))
+
+    if "gen" in stages:
+        stage_gen(args.root, args.n_dummy_songs, args.segs_per_song,
+                  args.n_db_songs, args.db_segs, args.alpha, args.noise)
+
+    if "eval" in stages:
+        from nafp_tpu.search.evaluate import eval_fingerprints
+        cache = (os.path.join(args.root, f"{args.index}_store.npz")
+                 if args.index == "ivf-sq8" else None)
+        rates = eval_fingerprints(
+            args.root, emb_dummy_dir=args.root, index_type=args.index,
+            test_ids=args.test_ids, index_cache=cache)
+        summary = json.load(open(os.path.join(args.root,
+                                              "eval_summary.json")))
+        line = {"protocol": "100x-sequence", "alpha": args.alpha,
+                "noise": args.noise, **summary}
+        with open(os.path.join(args.root, "results.jsonl"), "a") as f:
+            f.write(json.dumps(line) + "\n")
+        print(json.dumps(line), flush=True)
+
+
+if __name__ == "__main__":
+    main()
