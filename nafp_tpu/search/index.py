@@ -211,6 +211,39 @@ def assign_to_centroids(data: np.ndarray, centroids: jax.Array,
     return out
 
 
+def _host_gemm(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """a @ b on the host. torch when available — this VM's numpy/OpenBLAS
+    runs sgemm at ~0.4 GFLOPS (bad DYNAMIC_ARCH kernel) vs torch's ~30 —
+    with a numpy fallback so the library never hard-requires torch."""
+    try:
+        import torch
+        return (torch.from_numpy(np.ascontiguousarray(a))
+                @ torch.from_numpy(np.ascontiguousarray(b))).numpy()
+    except ImportError:                                   # pragma: no cover
+        return a @ b
+
+
+def _host_assign_block(data: np.ndarray, cents: np.ndarray) -> np.ndarray:
+    """Nearest centroid on the host: argmax 2·x·c − |c|² (same math as
+    ``_assign_block`` without shipping f32 rows to the device)."""
+    sim = 2.0 * _host_gemm(data, cents.T) - np.sum(cents ** 2, 1)[None, :]
+    return np.argmax(sim, axis=1).astype(np.int32)
+
+
+def _host_pq_encode_block(resid: np.ndarray, books: np.ndarray) -> np.ndarray:
+    """PQ-encode residuals on the host: per-subquantizer nearest codeword
+    (same math as ``IVFPQIndex._encode_block``)."""
+    n = len(resid)
+    m, ksub, dsub = books.shape
+    r = resid.reshape(n, m, dsub)
+    codes = np.empty((n, m), np.uint8)
+    b_sq = np.sum(books ** 2, -1)                        # (m, ksub)
+    for mi in range(m):
+        sim = 2.0 * _host_gemm(r[:, mi], books[mi].T) - b_sq[mi][None, :]
+        codes[:, mi] = np.argmax(sim, axis=1)
+    return codes
+
+
 def kmeans(data: jax.Array, k: int, iters: int = 10,
            key: Optional[jax.Array] = None) -> jax.Array:
     """Lloyd k-means on device with k-means++ init."""
@@ -301,7 +334,14 @@ class IVFPQIndex:
         return assign_to_centroids(data, self.centroids)
 
     # -- add ---------------------------------------------------------------
-    def add(self, data, block: int = 1 << 20) -> None:
+    # Past this many rows both add() passes encode on the HOST (torch BLAS)
+    # instead of shipping f32 blocks to the device: through a slow
+    # host<->device link the device path moves 2x the full f32 DB (27 GB
+    # each way at 100x scale) while the host GEMMs are minutes of CPU.
+    HOST_ENCODE_ROWS = 1 << 23
+
+    def add(self, data, block: int = 1 << 20,
+            persist_path: Optional[str] = None) -> None:
         """Encode and store (single-shot add; extend-in-place unsupported).
 
         Layout: rows sorted by coarse list, each list padded to a multiple
@@ -313,28 +353,39 @@ class IVFPQIndex:
         O(N) host buffers are the uint8 codes (64 B/row) and int32
         assignment/order arrays — never a second full-size f32 copy, so a
         100x-protocol-scale (27 GB) source encodes in ~4 GB of RAM.
+
+        ``persist_path``: save the built store (npz, host arrays) before
+        the device upload so a killed run resumes via :meth:`load`.
         """
         assert self._trained, "train() before add()"
         lt = self.LIST_TILE
         n = len(data)
+        host = n >= self.HOST_ENCODE_ROWS
         # pass 1: coarse assignment, streamed off the source
         assign = np.empty(n, np.int32)
         for s in range(0, n, block):
-            assign[s:s + block] = assign_to_centroids(
-                np.asarray(data[s:s + block], np.float32), self.centroids)
+            blk_rows = np.asarray(data[s:s + block], np.float32)
+            assign[s:s + block] = (
+                _host_assign_block(blk_rows, np.asarray(self.centroids))
+                if host else assign_to_centroids(blk_rows, self.centroids))
         order = np.argsort(assign, kind="stable")
         sorted_assign = assign[order]
 
-        # pass 2: gather sorted rows in blocks, PQ-encode residuals on
-        # device (order is grouped by list; gathers hit the page cache)
+        # pass 2: gather sorted rows in blocks, PQ-encode residuals
+        # (on host past HOST_ENCODE_ROWS; order is grouped by list, so the
+        # gathers hit the page cache)
         cents_np = np.asarray(self.centroids)
+        books_np = np.asarray(self.codebooks)
         codes = np.empty((n, self.m), np.uint8)
         enc = jax.jit(self._encode_block)
-        for s in range(0, n, 65536):
-            idxs = order[s:s + 65536]
+        eb = 16384 if host else 65536
+        for s in range(0, n, eb):
+            idxs = order[s:s + eb]
             rows = np.asarray(data[idxs], np.float32)
-            resid = rows - cents_np[sorted_assign[s:s + 65536]]
-            codes[s:s + 65536] = np.asarray(enc(jnp.asarray(resid)))
+            resid = rows - cents_np[sorted_assign[s:s + eb]]
+            codes[s:s + eb] = (
+                _host_pq_encode_block(resid, books_np) if host
+                else np.asarray(enc(jnp.asarray(resid))))
 
         counts = np.bincount(sorted_assign, minlength=self.nlist)
         padded = np.maximum((counts + lt - 1) // lt, 1) * lt
@@ -352,12 +403,39 @@ class IVFPQIndex:
             ids_pad[sp:sp + c] = order[starts_u[li]:starts_u[li] + c]
             sub_list[sp // lt:(sp + padded[li]) // lt] = li
 
-        self.codes = jnp.asarray(codes_pad)          # (N_pad, m) uint8
-        self.ids = jnp.asarray(ids_pad)              # row -> original id
+        if persist_path:
+            np.savez(persist_path, nlist=self.nlist, m=self.m,
+                     ksub=self.ksub, ntotal=n,
+                     centroids=np.asarray(self.centroids),
+                     codebooks=books_np, codes=codes_pad, ids=ids_pad,
+                     sub_list=sub_list)
+        self.codes = _chunked_device_put(codes_pad)  # (N_pad, m) uint8
+        self.ids = _chunked_device_put(ids_pad)      # row -> original id
         self.sub_list = jnp.asarray(sub_list)        # subtile -> list id
-        self.raw = jnp.asarray(data) if self.refine else None
+        self.raw = _chunked_device_put(np.asarray(data, np.float32)) \
+            if self.refine else None
         self.n_pad = n_pad
         self.ntotal = len(data)
+
+    @classmethod
+    def load(cls, path: str, nprobe: int = 40) -> "IVFPQIndex":
+        """Load a store persisted by ``add(persist_path=...)``; chunked
+        uploads (a 100x-scale code array is ~3.4 GB). ``refine`` stores
+        are not persisted (the raw vectors dominate the size)."""
+        z = np.load(path)
+        m = int(z["m"])
+        d = int(z["centroids"].shape[1])
+        idx = cls(d=d, nlist=int(z["nlist"]), m=m, nprobe=nprobe)
+        idx.centroids = jnp.asarray(z["centroids"])
+        idx.codebooks = jnp.asarray(z["codebooks"])
+        idx.codes = _chunked_device_put(z["codes"])
+        idx.ids = _chunked_device_put(z["ids"])
+        idx.sub_list = jnp.asarray(z["sub_list"])
+        idx.raw = None
+        idx.n_pad = int(idx.codes.shape[0])
+        idx.ntotal = int(z["ntotal"])
+        idx._trained = True
+        return idx
 
     def _encode_block(self, resid: jax.Array) -> jax.Array:
         r = resid.reshape(-1, self.m, self.dsub)        # (n, m, dsub)

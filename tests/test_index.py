@@ -196,6 +196,32 @@ def test_ivfpq_streamed_memmap_add_matches_ram(rng, tmp_path):
     np.testing.assert_array_equal(ia, ib)
 
 
+def test_ivfpq_host_encode_and_persist_roundtrip(rng, tmp_path, monkeypatch):
+    """The host (BLAS) encode path taken at 100x scale must produce the
+    identical store as the device path, and a persisted store must search
+    identically after load()."""
+    db = _unit(rng, 3000)
+    a = IVFPQIndex(d=128, nlist=16, m=64, nbits=8, nprobe=4)
+    a.train(db, kmeans_iters=4)
+    a.add(db)
+
+    b = IVFPQIndex(d=128, nlist=16, m=64, nbits=8, nprobe=4)
+    b.train(db, kmeans_iters=4)         # same codebooks
+    monkeypatch.setattr(IVFPQIndex, "HOST_ENCODE_ROWS", 1)  # force host path
+    store = str(tmp_path / "pq_store.npz")
+    b.add(db, persist_path=store)
+    np.testing.assert_array_equal(np.asarray(a.ids), np.asarray(b.ids))
+    np.testing.assert_array_equal(np.asarray(a.codes), np.asarray(b.codes))
+
+    c = IVFPQIndex.load(store, nprobe=4)
+    assert c.ntotal == a.ntotal
+    q = db[rng.integers(0, 3000, 16)]
+    da, ia = a.search(q, k=5)
+    dc, ic = c.search(q, k=5)
+    np.testing.assert_array_equal(ia, ic)
+    np.testing.assert_allclose(da, dc, rtol=1e-5, atol=1e-6)
+
+
 def test_chunked_device_put_and_permute(rng):
     """Chunked uploads and the on-device row permute must be exact for
     multi-chunk sizes, tails, and exact-multiple shapes."""
