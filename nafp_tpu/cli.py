@@ -60,16 +60,28 @@ def train(checkpoint_name, config, max_epoch):
               help="Exclude dummy-DB from the default source.")
 @click.option("--yes", "-y", default=False, is_flag=True,
               help="Skip the dummy_db overwrite confirmation prompt.")
+@click.option("--act_store", default=None,
+              type=click.Choice(["int8", "fp8"]),
+              help="Store inter-layer encoder activations at 1 byte/elem "
+                   "(overrides MODEL.ACT_STORE; inference-only).")
+@click.option("--nogpu", default=False, is_flag=True,
+              help="Run inference on CPU devices (parity flag; matches "
+                   "evaluate --nogpu).")
 def generate(checkpoint_name, checkpoint_index, config, source, output,
-             skip_dummy, yes):
+             skip_dummy, yes, act_store, nogpu):
     """Extract fingerprint memmaps with a saved checkpoint.
 
     Loads checkpoint CHECKPOINT_INDEX (newest when omitted) and writes
     {dummy_db,db,query}.mm (+ sidecar shape files) for the evaluate step.
     """
+    if nogpu:
+        import jax
+        jax.config.update("jax_platforms", "cpu")
     from nafp_tpu.generate import generate_fingerprint
 
     cfg = load_config(config)
+    if act_store:
+        update_config(cfg, "MODEL", "ACT_STORE", act_store)
     generate_fingerprint(cfg, checkpoint_name, checkpoint_index, source,
                          output, skip_dummy, assume_yes=yes)
 

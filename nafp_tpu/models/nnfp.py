@@ -27,7 +27,7 @@ float32, parameters always float32.
 """
 from __future__ import annotations
 
-from typing import Any, Dict, Sequence, Tuple
+from typing import Any, Dict, Optional, Sequence, Tuple
 
 import flax.linen as nn
 import jax
@@ -45,6 +45,39 @@ DEFAULT_STRIDES: Tuple[Tuple[Tuple[int, int], Tuple[int, int]], ...] = (
 DEFAULT_CHANNELS: Tuple[int, ...] = (128, 128, 256, 256, 512, 512, 1024, 1024)
 
 _glorot = nn.initializers.glorot_uniform()
+
+# Fixed int8 activation scale for ACT_STORE='int8'. LN outputs are
+# ~ gamma*N(0,1)+beta, so +-127/16 = +-7.9 covers the range with 1/16
+# quantization steps; the scale is a power of two so the bf16
+# dequantize multiply is exact.
+_INT8_ACT_SCALE = 16.0
+
+
+def _compress_act(x: jax.Array, mode: Optional[str]) -> jax.Array:
+    """Shrink an activation tensor for HBM storage between conv blocks.
+
+    The encoder is HBM-bound (see LayerNorm2d PERF NOTE): at bf16 the
+    inter-layer tensors account for ~14 GB of traffic per bsz-1024 step.
+    Storing them at 1 byte/elem halves that bound. 'int8' uses a fixed
+    power-of-two scale (no calibration pass — LN pins the range); 'fp8'
+    stores float8_e4m3fn. Inference-only: round() has zero gradient.
+    """
+    if mode == "int8":
+        return jnp.clip(jnp.round(x.astype(jnp.float32) * _INT8_ACT_SCALE),
+                        -127.0, 127.0).astype(jnp.int8)
+    if mode == "fp8":
+        return x.astype(jnp.float8_e4m3fn)
+    return x
+
+
+def _decompress_act(x: jax.Array, mode: Optional[str], dtype) -> jax.Array:
+    """Inverse of _compress_act. Dtype-guarded: uncompressed inputs (the
+    first layer's melspec, or a float tap) pass through untouched."""
+    if mode == "int8" and x.dtype == jnp.int8:
+        return (x.astype(dtype) * dtype(1.0 / _INT8_ACT_SCALE))
+    if mode == "fp8" and x.dtype == jnp.float8_e4m3fn:
+        return x.astype(dtype)
+    return x
 
 
 def _mxu_einsum(eq: str, a: jax.Array, b: jax.Array) -> jax.Array:
@@ -92,6 +125,7 @@ class ConvLayer(nn.Module):
     norm: str = "layer_norm2d"
     dtype: Any = jnp.float32
     bn_axis: Any = None  # mesh axis name for cross-replica BN stats
+    act_store: Optional[str] = None  # None | 'int8' | 'fp8' (inference only)
 
     def _act_norm(self, x, train: bool):
         """ELU then norm; for layer_norm2d the pair lives in one module so
@@ -112,15 +146,20 @@ class ConvLayer(nn.Module):
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+        # Quantization applies only at inference: round() has zero
+        # gradient, and the training step never benefits (its traffic is
+        # dominated by saved residuals either way).
+        qmode = None if train else self.act_store
+        x = _decompress_act(x, qmode, self.dtype)
         x = nn.Conv(self.hidden_ch, (1, 3), strides=self.strides[0],
                     padding="SAME", kernel_init=_glorot,
                     dtype=self.dtype, name="conv_1x3")(x)
-        x = self._act_norm(x, train)
+        x = _compress_act(self._act_norm(x, train), qmode)
+        x = _decompress_act(x, qmode, self.dtype)
         x = nn.Conv(self.hidden_ch, (3, 1), strides=self.strides[1],
                     padding="SAME", kernel_init=_glorot,
                     dtype=self.dtype, name="conv_3x1")(x)
-        x = self._act_norm(x, train)
-        return x
+        return _compress_act(self._act_norm(x, train), qmode)
 
 
 class DivEncLayer(nn.Module):
@@ -166,6 +205,7 @@ class FingerPrinter(nn.Module):
     use_l2layer: bool = True
     dtype: Any = jnp.float32
     bn_axis: Any = None
+    act_store: Optional[str] = None  # None | 'int8' | 'fp8' (inference only)
 
     def setup(self):
         ch = list(self.front_hidden_ch)
@@ -174,6 +214,7 @@ class FingerPrinter(nn.Module):
         self.conv_layers = [
             ConvLayer(hidden_ch=ch[i], strides=self.front_strides[i],
                       norm=self.norm, dtype=self.dtype, bn_axis=self.bn_axis,
+                      act_store=self.act_store,
                       name=f"conv_layer_{i}")
             for i in range(len(self.front_strides))
         ]
@@ -185,6 +226,7 @@ class FingerPrinter(nn.Module):
         x = x.astype(self.dtype)
         for layer in self.conv_layers:
             x = layer(x, train=train)
+        x = _decompress_act(x, None if train else self.act_store, self.dtype)
         return x.reshape(x.shape[0], -1)
 
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
@@ -219,7 +261,10 @@ def get_fingerprinter(cfg: Dict[str, Any], bn_axis=None) -> FingerPrinter:
     """
     dtype = jnp.bfloat16 if cfg["MODEL"].get("MIXED_PRECISION", True) else jnp.float32
     ch = tuple(cfg["MODEL"].get("FRONT_HIDDEN_CH", DEFAULT_CHANNELS))
+    act_store = cfg["MODEL"].get("ACT_STORE") or None
+    if act_store not in (None, "int8", "fp8"):
+        raise ValueError(f"MODEL.ACT_STORE must be int8|fp8, got {act_store}")
     return FingerPrinter(emb_sz=int(cfg["MODEL"]["EMB_SZ"]),
                          front_hidden_ch=ch,
                          norm=cfg["MODEL"]["BN"], dtype=dtype,
-                         bn_axis=bn_axis)
+                         bn_axis=bn_axis, act_store=act_store)

@@ -124,3 +124,32 @@ def test_grads_flow():
     norms = [np.linalg.norm(np.asarray(v)) for v in jax.tree_util.tree_leaves(g)]
     assert np.isfinite(norms).all()
     assert sum(n > 0 for n in norms) > len(norms) * 0.9
+
+
+@pytest.mark.parametrize("mode", ["int8", "fp8"])
+def test_act_store_quantized_close_to_full(mode):
+    # ACT_STORE stores inter-layer activations at 1 byte/elem for the
+    # HBM-bound inference path; embeddings must stay directionally
+    # equivalent to the full-precision path (gate for the generate use).
+    x = jax.random.normal(jax.random.PRNGKey(4), (4, 256, 32, 1))
+    m = FingerPrinter(dtype=jnp.float32, **SMALL)
+    v = jax.jit(m.init)(jax.random.PRNGKey(0), x)
+    e_full = jax.jit(m.apply)(v, x)
+    mq = FingerPrinter(dtype=jnp.float32, act_store=mode, **SMALL)
+    e_q = jax.jit(mq.apply)(v, x)
+    cos = np.sum(np.asarray(e_full) * np.asarray(e_q), axis=1)
+    assert cos.min() > 0.95, cos
+    # train=True must bypass quantization entirely (round has no gradient)
+    e_tr = jax.jit(lambda v, a: mq.apply(v, a, train=True))(v, x)
+    np.testing.assert_allclose(np.asarray(e_tr), np.asarray(e_full),
+                               atol=1e-5)
+
+
+def test_act_store_cfg_validation():
+    from nafp_tpu.configuration import load_config
+    cfg = load_config("default")
+    cfg["MODEL"]["ACT_STORE"] = "int4"
+    with pytest.raises(ValueError):
+        get_fingerprinter(cfg)
+    cfg["MODEL"]["ACT_STORE"] = "int8"
+    assert get_fingerprinter(cfg).act_store == "int8"
