@@ -100,9 +100,11 @@ def make_queries(mm, nq: int, seed: int = 7):
     return q, pick
 
 
-def stage_build(root: str, out: dict):
+def stage_build(root: str, out: dict, index: str = "ivf-sq8"):
     """Train + add, persisting the quantized store so later stages (or a
     rerun after a timeout) skip the ~hours-long streamed add."""
+    if index == "ivfpq":
+        return _build_ivfpq(root, out)
     from nafp_tpu.search.index import IVFSQ8Index
     mm = load_mm(root)
     idx = IVFSQ8Index(d=D)
@@ -140,20 +142,65 @@ def stage_build(root: str, out: dict):
     return idx
 
 
+def _build_ivfpq(root: str, out: dict):
+    """IVF-PQ at protocol scale (VERDICT r2 item 3): reference contract
+    nlist=256 / 64x8-bit codes (``get_index_faiss.py:69-74``). The PQ
+    scan scores every code chunk with a probe-bias mask, so nlist only
+    shapes recall — the reference's 256 keeps the host coarse-assign
+    pass cheap (~3.5 TFLOP of torch sgemm). Codes are 64 B/row: the
+    53.6 M store is ~3.4 GB on device."""
+    from nafp_tpu.search.index import IVFPQIndex
+    mm = load_mm(root)
+    cache = os.path.join(root, "ivfpq_store.npz")
+    if os.path.exists(cache):
+        try:
+            z = np.load(cache)
+            ok = int(z["ntotal"]) == len(mm)
+        except Exception as e:      # partial write from a killed run
+            print(f"[build] discarding unreadable cache {cache}: {e}",
+                  flush=True)
+            os.remove(cache)
+            ok = False
+        if ok:
+            print(f"[build] loading persisted index {cache}", flush=True)
+            t0 = time.perf_counter()
+            idx = IVFPQIndex.load(cache)    # chunked uploads
+            print(f"[build] store resident in "
+                  f"{time.perf_counter()-t0:.0f}s", flush=True)
+            out.update(index="ivfpq", nlist=idx.nlist, m=idx.m,
+                       build_cached=True)
+            return idx
+    idx = IVFPQIndex(d=D)
+    t0 = time.perf_counter()
+    idx.train(mm)
+    t_train = time.perf_counter() - t0
+    print(f"[build] trained ivfpq nlist={idx.nlist} m={idx.m} in "
+          f"{t_train:.0f}s", flush=True)
+    t0 = time.perf_counter()
+    idx.add(mm, persist_path=cache)
+    t_add = time.perf_counter() - t0
+    print(f"[build] added {idx.ntotal:,} rows in {t_add:.0f}s; store "
+          f"persisted to {cache}", flush=True)
+    out.update(index="ivfpq", nlist=idx.nlist, m=idx.m,
+               train_sec=round(t_train, 1), add_sec=round(t_add, 1))
+    return idx
+
+
 def stage_qps(idx, mm, nq: int, k: int, out: dict, nprobes=None, gt=None,
-              on_point=None):
+              on_point=None, qblock=None):
     """Timed search; optionally sweep nprobe values (recall/QPS curve —
     nprobe is a compile-time constant, so each value costs one extra
     compile against the already-resident store). ``gt``: exact top-1 ids
     (from host BLAS); when given, recall is measured against it and the
     planted-row recall is reported alongside."""
     q, pick = make_queries(mm, nq)
+    skw = {} if qblock is None else {"block": qblock}
     sweep = []
     for np_ in (nprobes or [idx.nprobe]):
         idx.nprobe = np_
-        idx.search(q, k)                  # warm with identical shapes
+        idx.search(q, k, **skw)           # warm with identical shapes
         t0 = time.perf_counter()
-        _, ids = idx.search(q, k)
+        _, ids = idx.search(q, k, **skw)
         dt = time.perf_counter() - t0
         rec_pl = float(np.mean([pick[i] in ids[i] for i in range(len(q))]))
         point = {"nprobe": np_, "qps": round(nq / dt, 1),
@@ -256,6 +303,14 @@ def main():
     ap.add_argument("--nprobes", default=None,
                     help="comma-separated nprobe sweep for the qps stage, "
                          "e.g. '40,80,128' (default: the index's 40)")
+    ap.add_argument("--index", choices=("ivf-sq8", "ivfpq"),
+                    default="ivf-sq8")
+    ap.add_argument("--cpu", action="store_true",
+                    help="force the CPU backend (smoke runs; the env var "
+                         "alone cannot override the TPU plugin)")
+    ap.add_argument("--qblock", type=int, default=None,
+                    help="search query-block size (ivfpq amortizes its "
+                         "per-pass decode over the block; try 2048)")
     ap.add_argument("--gt", choices=("planted", "host", "device"),
                     default="planted",
                     help="'host' = exact top-1 via blocked host BLAS "
@@ -263,9 +318,12 @@ def main():
                          "'device' = streamed Pallas scan (ships the full "
                          "f32 DB through the device link)")
     args = ap.parse_args()
+    if args.cpu:
+        import jax
+        jax.config.update("jax_platforms", "cpu")
     os.makedirs(args.root, exist_ok=True)
     stages = set(args.stages.split(","))
-    out = {"protocol": "100x", "n": args.n}
+    out = {"protocol": "100x", "n": args.n, "index": args.index}
 
     if "gen" in stages:
         stage_gen(args.root, args.n)
@@ -286,7 +344,7 @@ def main():
     idx = None
     if {"build", "qps", "recall"} & stages:
         out_build = {}
-        idx = stage_build(args.root, out_build)
+        idx = stage_build(args.root, out_build, index=args.index)
         out.update(out_build)
 
     results_path = os.path.join(args.root, "results.jsonl")
@@ -300,7 +358,7 @@ def main():
         nprobes = ([int(x) for x in args.nprobes.split(",")]
                    if args.nprobes else None)
         ids = stage_qps(idx, mm, args.nq, args.k, out, nprobes=nprobes,
-                        gt=gt,
+                        gt=gt, qblock=args.qblock,
                         on_point=lambda p: checkpoint_line({**out, **p}))
 
     if "recall" in stages:
