@@ -172,7 +172,11 @@ def _build_ivfpq(root: str, out: dict):
             return idx
     idx = IVFPQIndex(d=D)
     t0 = time.perf_counter()
-    idx.train(mm)
+    # 256 coarse centroids (~256 pts/centroid suffices) and 2-D
+    # subquantizer books need nowhere near the 1e7-row default sample —
+    # which would ship 5 GB f32 through the slow device link. 512k rows
+    # (256 MB) trains the same books in minutes.
+    idx.train(mm, max_train=1 << 19)
     t_train = time.perf_counter() - t0
     print(f"[build] trained ivfpq nlist={idx.nlist} m={idx.m} in "
           f"{t_train:.0f}s", flush=True)
