@@ -14,7 +14,12 @@ cosine similarity of the quantized embeddings against the bf16 path
 (the accuracy gate for using ACT_STORE in `generate`).
 """
 import json
+import os
+import sys
 import time
+
+# `python extras/bench_quant.py` puts extras/ (not the repo) on sys.path
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 

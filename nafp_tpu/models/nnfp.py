@@ -58,9 +58,20 @@ def _compress_act(x: jax.Array, mode: Optional[str]) -> jax.Array:
 
     The encoder is HBM-bound (see LayerNorm2d PERF NOTE): at bf16 the
     inter-layer tensors account for ~14 GB of traffic per bsz-1024 step.
-    Storing them at 1 byte/elem halves that bound. 'int8' uses a fixed
-    power-of-two scale (no calibration pass — LN pins the range); 'fp8'
-    stores float8_e4m3fn. Inference-only: round() has zero gradient.
+    Storing them at 1 byte/elem halves that bound IF the converts fuse
+    into the adjacent convolutions. 'int8' uses a fixed power-of-two
+    scale (no calibration pass — LN pins the range); 'fp8' stores
+    float8_e4m3fn. Inference-only: round() has zero gradient.
+
+    MEASURED NEGATIVE (v5e, bsz 1024, extras/bench_quant.py): bf16
+    59,523 segs/s (17.2 ms) vs int8 48,914 (20.9 ms) vs fp8 49,711
+    (20.6 ms) — the quantized paths are 16-18% SLOWER. XLA materializes
+    the converts as separate HBM passes instead of fusing them into the
+    conv operand read, so the "compression" adds traffic. Accuracy
+    passes (cos vs bf16: int8 mean .9946/min .9907, fp8 .9887/.9799)
+    but the speed gate fails; the path stays opt-in for storage-bound
+    uses only (generate to a pre-quantized store). Third traffic
+    optimization to lose to XLA's schedule — see the PERF NOTE.
     """
     if mode == "int8":
         return jnp.clip(jnp.round(x.astype(jnp.float32) * _INT8_ACT_SCALE),
