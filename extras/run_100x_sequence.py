@@ -53,26 +53,43 @@ D = 128
 def _write_walks(path_base: str, n_songs: int, segs: int, alpha: float,
                  rng: np.random.Generator, song_chunk: int = 4096) -> None:
     """Write (n_songs*segs, D) unit random-walk fingerprints as {base}.mm
-    + {base}_shape.npy, blockwise (no full array in RAM)."""
+    + {base}_shape.npy, blockwise (no full array in RAM).
+
+    PERF: warm reused buffers + sequential ``tofile`` writes, NOT a
+    memmap store and NOT fresh per-chunk allocations — on this VM's
+    on-demand (VMM-backed) memory a first-touch page fault costs ~1 ms,
+    which makes memmap stores run at 4.7 MB/s (vs 123 MB/s for plain
+    write()) and fresh-buffer RNG at 9 MB/s (vs 170 MB/s into a warm
+    buffer). Measured; see CLAUDE.md."""
     n = n_songs * segs
-    mm = np.memmap(path_base + ".mm", np.float32, "w+", shape=(n, D))
     beta = float(np.sqrt(1.0 - alpha * alpha))
+    block = np.empty((song_chunk, segs, D), np.float32)
+    x = np.empty((song_chunk, D), np.float32)
+    eps = np.empty((song_chunk, D), np.float32)
+    nrm = np.empty(song_chunk, np.float32)
+
+    def _unitize(v, nv):
+        np.sqrt(np.einsum("nd,nd->n", v, v, optimize=True), out=nv)
+        v /= nv[:, None]
+
     t0 = time.perf_counter()
-    for s0 in range(0, n_songs, song_chunk):
-        ns = min(song_chunk, n_songs - s0)
-        block = np.empty((ns, segs, D), np.float32)
-        x = rng.standard_normal((ns, D), dtype=np.float32)
-        x /= np.linalg.norm(x, axis=1, keepdims=True)
-        block[:, 0] = x
-        for t in range(1, segs):
-            x = alpha * x + beta * rng.standard_normal((ns, D),
-                                                       dtype=np.float32)
-            x /= np.linalg.norm(x, axis=1, keepdims=True)
-            block[:, t] = x
-        mm[s0 * segs:(s0 + ns) * segs] = block.reshape(-1, D)
-        print(f"  {path_base}: {(s0 + ns):,}/{n_songs:,} songs "
-              f"({time.perf_counter()-t0:.0f}s)", flush=True)
-    mm.flush()
+    with open(path_base + ".mm", "wb") as f:
+        for s0 in range(0, n_songs, song_chunk):
+            ns = min(song_chunk, n_songs - s0)
+            xv, ev, bv, nv = x[:ns], eps[:ns], block[:ns], nrm[:ns]
+            rng.standard_normal((ns, D), dtype=np.float32, out=xv)
+            _unitize(xv, nv)
+            bv[:, 0] = xv
+            for t in range(1, segs):
+                rng.standard_normal((ns, D), dtype=np.float32, out=ev)
+                np.multiply(xv, alpha, out=xv)
+                np.multiply(ev, beta, out=ev)
+                np.add(xv, ev, out=xv)
+                _unitize(xv, nv)
+                bv[:, t] = xv
+            bv.tofile(f)
+            print(f"  {path_base}: {(s0 + ns):,}/{n_songs:,} songs "
+                  f"({time.perf_counter()-t0:.0f}s)", flush=True)
     np.save(path_base + "_shape.npy", np.asarray((n, D)))
 
 

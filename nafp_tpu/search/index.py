@@ -211,26 +211,40 @@ def assign_to_centroids(data: np.ndarray, centroids: jax.Array,
     return out
 
 
-def _host_gemm(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+def _host_gemm(a: np.ndarray, b: np.ndarray,
+               out: Optional[np.ndarray] = None) -> np.ndarray:
     """a @ b on the host. torch when available — this VM's numpy/OpenBLAS
     runs sgemm at ~0.4 GFLOPS (bad DYNAMIC_ARCH kernel) vs torch's ~30 —
-    with a numpy fallback so the library never hard-requires torch."""
+    with a numpy fallback so the library never hard-requires torch.
+
+    ``out``: REUSE this (C-contiguous f32) buffer for the product. On
+    VMM-backed on-demand memory a fresh multi-GB output faults at
+    ~1 ms/page (measured: 1 GB gemm output 79-191 s fresh vs ~2 s into a
+    warm buffer), so every caller in a loop should pass one."""
     try:
         import torch
-        return (torch.from_numpy(np.ascontiguousarray(a))
-                @ torch.from_numpy(np.ascontiguousarray(b))).numpy()
+        ta = torch.from_numpy(np.ascontiguousarray(a))
+        tb = torch.from_numpy(np.ascontiguousarray(b))
+        if out is None:
+            return (ta @ tb).numpy()
+        torch.mm(ta, tb, out=torch.from_numpy(out))
+        return out
     except ImportError:                                   # pragma: no cover
-        return a @ b
+        return np.matmul(a, b, out=out)
 
 
-def _host_assign_block(data: np.ndarray, cents: np.ndarray) -> np.ndarray:
+def _host_assign_block(data: np.ndarray, cents: np.ndarray,
+                       sim_out: Optional[np.ndarray] = None) -> np.ndarray:
     """Nearest centroid on the host: argmax 2·x·c − |c|² (same math as
     ``_assign_block`` without shipping f32 rows to the device)."""
-    sim = 2.0 * _host_gemm(data, cents.T) - np.sum(cents ** 2, 1)[None, :]
+    sim = _host_gemm(data, np.ascontiguousarray(cents.T), out=sim_out)
+    sim *= 2.0
+    sim -= np.sum(cents ** 2, 1)[None, :]
     return np.argmax(sim, axis=1).astype(np.int32)
 
 
-def _host_pq_encode_block(resid: np.ndarray, books: np.ndarray) -> np.ndarray:
+def _host_pq_encode_block(resid: np.ndarray, books: np.ndarray,
+                          sim_out: Optional[np.ndarray] = None) -> np.ndarray:
     """PQ-encode residuals on the host: per-subquantizer nearest codeword
     (same math as ``IVFPQIndex._encode_block``)."""
     n = len(resid)
@@ -238,8 +252,12 @@ def _host_pq_encode_block(resid: np.ndarray, books: np.ndarray) -> np.ndarray:
     r = resid.reshape(n, m, dsub)
     codes = np.empty((n, m), np.uint8)
     b_sq = np.sum(books ** 2, -1)                        # (m, ksub)
+    so = sim_out[:n] if sim_out is not None else None
     for mi in range(m):
-        sim = 2.0 * _host_gemm(r[:, mi], books[mi].T) - b_sq[mi][None, :]
+        sim = _host_gemm(np.ascontiguousarray(r[:, mi]),
+                         np.ascontiguousarray(books[mi].T), out=so)
+        sim *= 2.0
+        sim -= b_sq[mi][None, :]
         codes[:, mi] = np.argmax(sim, axis=1)
     return codes
 
@@ -361,31 +379,47 @@ class IVFPQIndex:
         lt = self.LIST_TILE
         n = len(data)
         host = n >= self.HOST_ENCODE_ROWS
-        # pass 1: coarse assignment, streamed off the source
+        cents_np = np.asarray(self.centroids)
+        # pass 1: coarse assignment, streamed off the source. All block
+        # buffers are allocated ONCE and reused — fresh per-block arrays
+        # fault at ~1 ms/page on this VM's on-demand memory (CLAUDE.md).
         assign = np.empty(n, np.int32)
+        xbuf = np.empty((min(block, n), self.d), np.float32)
+        simbuf = (np.empty((min(block, n), self.nlist), np.float32)
+                  if host else None)
         for s in range(0, n, block):
-            blk_rows = np.asarray(data[s:s + block], np.float32)
-            assign[s:s + block] = (
-                _host_assign_block(blk_rows, np.asarray(self.centroids))
+            e = min(s + block, n)
+            blk_rows = xbuf[:e - s]
+            blk_rows[:] = data[s:e]
+            assign[s:e] = (
+                _host_assign_block(blk_rows, cents_np,
+                                   sim_out=simbuf[:e - s])
                 if host else assign_to_centroids(blk_rows, self.centroids))
         order = np.argsort(assign, kind="stable")
         sorted_assign = assign[order]
 
         # pass 2: gather sorted rows in blocks, PQ-encode residuals
         # (on host past HOST_ENCODE_ROWS; order is grouped by list, so the
-        # gathers hit the page cache)
-        cents_np = np.asarray(self.centroids)
+        # gathers hit the page cache). Warm buffers again.
         books_np = np.asarray(self.codebooks)
         codes = np.empty((n, self.m), np.uint8)
         enc = jax.jit(self._encode_block)
         eb = 16384 if host else 65536
+        rowbuf = np.empty((min(eb, n), self.d), np.float32)
+        centbuf = np.empty((min(eb, n), self.d), np.float32)
+        esim = (np.empty((min(eb, n), self.ksub), np.float32)
+                if host else None)
         for s in range(0, n, eb):
-            idxs = order[s:s + eb]
-            rows = np.asarray(data[idxs], np.float32)
-            resid = rows - cents_np[sorted_assign[s:s + eb]]
-            codes[s:s + eb] = (
-                _host_pq_encode_block(resid, books_np) if host
-                else np.asarray(enc(jnp.asarray(resid))))
+            e = min(s + eb, n)
+            idxs = order[s:e]
+            rows = rowbuf[:e - s]
+            np.take(data, idxs, axis=0, out=rows)
+            cb = centbuf[:e - s]
+            np.take(cents_np, sorted_assign[s:e], axis=0, out=cb)
+            rows -= cb                                  # residuals in place
+            codes[s:e] = (
+                _host_pq_encode_block(rows, books_np, sim_out=esim) if host
+                else np.asarray(enc(jnp.asarray(rows))))
 
         counts = np.bincount(sorted_assign, minlength=self.nlist)
         padded = np.maximum((counts + lt - 1) // lt, 1) * lt
@@ -649,15 +683,23 @@ class IVFSQ8Index:
         scales_flat = np.empty(n, np.float32)
         assign = np.empty(n, np.int32)
         buf = jnp.zeros((n, self.d), jnp.int8)       # unsorted device copy
+        # warm per-block buffers: fresh allocations fault at ~1 ms/page
+        # on this VM's on-demand memory (CLAUDE.md r3 notes)
+        xbuf = np.empty((min(block, n), self.d), np.float32)
         for s in range(0, n, block):
-            x = np.asarray(data[s:s + block], np.float32)
+            e = min(s + block, n)
+            x = xbuf[:e - s]
+            x[:] = data[s:e]
             sc = np.maximum(np.abs(x).max(axis=1), 1e-12) / 127.0
-            q = np.clip(np.round(x / sc[:, None]), -127, 127).astype(np.int8)
-            q8_flat[s:s + block] = q
-            scales_flat[s:s + block] = sc.astype(np.float32)
+            x /= sc[:, None]
+            np.rint(x, out=x)
+            np.clip(x, -127, 127, out=x)
+            q = q8_flat[s:e]
+            q[:] = x                                  # cast into the store
+            scales_flat[s:e] = sc
             blk = jnp.asarray(q)
             buf = _update_rows(buf, blk, jnp.asarray(s, jnp.int32))
-            assign[s:s + block] = np.asarray(_assign_int8_block(
+            assign[s:e] = np.asarray(_assign_int8_block(
                 blk, jnp.asarray(sc.astype(np.float32)), self.centroids))
         counts = np.bincount(assign, minlength=self.nlist)
         self.list_cap = int(max(1, counts.max()))
