@@ -80,9 +80,23 @@ def main():
 
     recall = None
     if args.recall:
-        from nafp_tpu.search.index import FlatIndex
-        _, gt = FlatIndex(db, metric="ip").search(q, 1)
-        recall = float(np.mean([gt[i, 0] in ids[i] for i in range(len(q))]))
+        # exact top-1 GT on the HOST (blocked torch sgemm): a FlatIndex GT
+        # would ship the full f32 DB through the slow device link a second
+        # time; one core does the 2048 x n x d GEMM in seconds.
+        import torch
+        torch.set_num_threads(1)
+        qt = torch.from_numpy(np.ascontiguousarray(q))
+        gt = np.full(len(q), -1, np.int64)
+        gv = np.full(len(q), -np.inf, np.float32)
+        for s in range(0, args.n, 1 << 20):
+            e = min(s + (1 << 20), args.n)
+            sim = qt @ torch.from_numpy(db[s:e]).T
+            pv, pi = torch.max(sim, dim=1)
+            pv, pi = pv.numpy(), pi.numpy().astype(np.int64) + s
+            better = pv > gv
+            gv = np.where(better, pv, gv)
+            gt = np.where(better, pi, gt)
+        recall = float(np.mean([gt[i] in ids[i] for i in range(len(q))]))
 
     print(json.dumps({
         "metric": "search_qps",

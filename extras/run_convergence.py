@@ -1,0 +1,130 @@
+#!/usr/bin/env python
+"""Convergence-scale training drive: the large-batch 640-LAMB recipe on a
+1,000-song synthetic corpus, trained to plateau and scored on the true
+ICASSP protocol.
+
+The reference's headline claim is that its recipe scales with batch size
+("the larger the BSZ, the higher the performance", reference README.md:34-41,
+``config/640_lamb.yaml:57-83``) — but the repo had only ever *timed* the
+bsz-640 step (39 ms) and trained a 60-song Adam run. This runner makes the
+large-batch dynamics a measured artifact:
+
+  data     — synthesize a 1,000-song 30 s corpus (+250 val, 500 query/db
+             pairs, 500 dummy songs) with extras/make_synth_dataset.py.
+  config   — derive ROOT/config/conv640.yaml from the packaged 640_lamb
+             preset: paths under ROOT, DEVICE.DEVICE_CORPUS on (songs
+             resident in HBM; steps ship only indices — the host<->device
+             link never bounds throughput), checkpoint every 10 epochs.
+  train    — ``run.py train conv640 -c conv640`` (auto-resumes).
+  generate — fingerprints for {dummy_db, db, query} at the final epoch.
+  evaluate — the sequence-level ICASSP protocol (hit rates x
+             {1,3,5,9,11,19} segments) with the fixed test ids.
+
+Each stage is skipped when its artifact exists, so the drive survives
+timeouts/restarts. Run stages selectively with --stages.
+
+Usage:
+    python extras/run_convergence.py [--root /tmp/nafp_conv]
+        [--n_train 1000] [--epochs 100] [--stages data,config,train,generate,evaluate]
+"""
+from __future__ import annotations
+
+import argparse
+import glob
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def sh(args, root: str) -> None:
+    env = dict(os.environ)
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    env.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_tpu_cache")
+    print(f"+ {' '.join(args)}", flush=True)
+    t0 = time.perf_counter()
+    subprocess.run(args, cwd=root, env=env, check=True)
+    print(f"  [{args[2] if len(args) > 2 else args[-1]}] "
+          f"{time.perf_counter() - t0:.0f}s", flush=True)
+
+
+def stage_data(root: str, n_train: int, sec: float) -> None:
+    marker = os.path.join(root, "data.done.json")
+    want = {"n_train": n_train, "n_query": 500, "n_dummy": 500, "sec": sec}
+    if os.path.exists(marker) and json.load(open(marker)) == want:
+        print("[data] exists", flush=True)
+        return
+    from extras.make_synth_dataset import build
+    t0 = time.perf_counter()
+    build(root, n_train=n_train, n_query=500, n_dummy=500, sec=sec)
+    print(f"[data] synthesized in {time.perf_counter() - t0:.0f}s", flush=True)
+    with open(marker, "w") as f:
+        json.dump(want, f)
+
+
+def stage_config(root: str, epochs: int) -> str:
+    import yaml
+    from nafp_tpu.configuration import load_config
+    cfg = load_config(os.path.join(REPO, "nafp_tpu/config/640_lamb.yaml"))
+    cfg["DIR"].update(
+        SOURCE_ROOT_DIR=f"{root}/music/", BG_ROOT_DIR=f"{root}/aug/bg/",
+        IR_ROOT_DIR=f"{root}/aug/ir/", SPEECH_ROOT_DIR=f"{root}/aug/speech/",
+        OUTPUT_ROOT_DIR=f"{root}/logs/emb/", LOG_ROOT_DIR=f"{root}/logs/")
+    cfg["TRAIN"].update(MAX_EPOCH=epochs, CHECKPOINT_INTERVAL=10,
+                        MINI_TEST_IN_TRAIN=False, SAVE_IMG=False)
+    cfg["DEVICE"].update(DEVICE_CORPUS=True, DEVICE_CORPUS_MAX_GB=4)
+    path = os.path.join(root, "config", "conv640.yaml")
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    with open(path, "w") as f:
+        yaml.dump(cfg, f)
+    print(f"[config] wrote {path}", flush=True)
+    return path
+
+
+def newest_epoch(root: str) -> int:
+    cands = [int(os.path.basename(p)) for p in
+             glob.glob(os.path.join(root, "logs/checkpoint/conv640/*"))
+             if os.path.basename(p).isdigit()]
+    if not cands:
+        sys.exit("[error] no checkpoint found; run the train stage first")
+    return max(cands)
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--root", default="/tmp/nafp_conv")
+    ap.add_argument("--n_train", type=int, default=1000)
+    ap.add_argument("--sec", type=float, default=30.0)
+    ap.add_argument("--epochs", type=int, default=100)
+    ap.add_argument("--index", default="l2")
+    ap.add_argument("--stages",
+                    default="data,config,train,generate,evaluate")
+    args = ap.parse_args()
+    stages = set(args.stages.split(","))
+    os.makedirs(args.root, exist_ok=True)
+    py = sys.executable
+    run_py = os.path.join(REPO, "run.py")
+
+    if "data" in stages:
+        stage_data(args.root, args.n_train, args.sec)
+    if "config" in stages:
+        stage_config(args.root, args.epochs)
+    if "train" in stages:
+        sh([py, run_py, "train", "conv640", "-c", "conv640"], args.root)
+    ep = None
+    if "generate" in stages:
+        ep = newest_epoch(args.root)
+        sh([py, run_py, "generate", "conv640", str(ep), "-c", "conv640",
+            "-y"], args.root)
+    if "evaluate" in stages:
+        ep = ep or newest_epoch(args.root)
+        sh([py, run_py, "evaluate", "conv640", str(ep), "-c", "conv640",
+            "-i", args.index, "-t", "icassp"], args.root)
+
+
+if __name__ == "__main__":
+    main()

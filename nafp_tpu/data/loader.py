@@ -190,14 +190,18 @@ class SegmentLoader:
         return n
 
     # ------------------------------------------------------------------
-    def __getitem__(self, idx: int) -> Dict[str, np.ndarray]:
-        """Returns a dict of static-shaped float32 arrays:
+    def plan_batch(self, idx: int) -> Dict[str, object]:
+        """Plan every (path, start_frame) read of batch ``idx`` without
+        decoding any audio.
 
-        'anchors'  (n_anchor, T)  zero-padded past n_valid
-        'replicas' (n_pos,   T)   clean replica waveforms (offset only)
-        'bg'       (n_pos,   T)   raw background segments (if bg aug)
-        'ir'       (n_pos, 600)   raw impulse responses (if ir aug)
-        'n_valid'  ()             number of real anchors in this batch
+        Shared by the host decode path (:meth:`__getitem__`) and the
+        device-resident corpus path (``data/device_corpus.py``), which
+        ships only these plans to the device — both paths consume one RNG
+        stream in one order, so they produce identical segments (tested).
+
+        Returns ``{'anchors': (paths, starts), 'replicas': (paths, starts),
+        'bg': ..., 'ir': ..., 'speech': ..., 'n_valid': int}`` with aug
+        keys present only when that source is mixed in.
         """
         if idx >= len(self):
             raise IndexError(idx)
@@ -205,9 +209,6 @@ class SegmentLoader:
         sel = self.index_event[idx * self.n_anchor:(idx + 1) * self.n_anchor]
         n_valid = len(sel)
 
-        # Plan all (path, start_frame) reads, then decode the whole batch in
-        # one native call (threaded C++; nafp_tpu/native/wavio.cc) or the
-        # pure-Python fallback.
         a_paths, a_starts = [], []
         p_paths, p_starts = [], []
         for ev in sel:
@@ -237,6 +238,40 @@ class SegmentLoader:
                     p_paths.append(fname)
                     p_starts.append(base + p_off)
 
+        plan: Dict[str, object] = {"anchors": (a_paths, a_starts),
+                                   "replicas": (p_paths, p_starts),
+                                   "n_valid": n_valid}
+        if self.bg_mix:
+            plan["bg"] = self._plan_sources(
+                idx, rng, self.bg_seg_list, self.index_bg, random_offset=True)
+        if self.ir_mix:
+            plan["ir"] = self._plan_sources(
+                idx, rng, self.ir_seg_list, self.index_ir,
+                random_offset=False)
+        if self.speech_mix:
+            plan["speech"] = self._plan_sources(
+                idx, rng, self.speech_seg_list, self.index_speech,
+                random_offset=True)
+        return plan
+
+    def __getitem__(self, idx: int) -> Dict[str, np.ndarray]:
+        """Returns a dict of static-shaped float32 arrays:
+
+        'anchors'  (n_anchor, T)  zero-padded past n_valid
+        'replicas' (n_pos,   T)   clean replica waveforms (offset only)
+        'bg'       (n_pos,   T)   raw background segments (if bg aug)
+        'ir'       (n_pos, 600)   raw impulse responses (if ir aug)
+        'n_valid'  ()             number of real anchors in this batch
+
+        Decodes the :meth:`plan_batch` reads in one native call per source
+        (threaded C++; nafp_tpu/native/wavio.cc) or the pure-Python
+        fallback.
+        """
+        plan = self.plan_batch(idx)
+        n_valid = plan["n_valid"]
+        a_paths, a_starts = plan["anchors"]
+        p_paths, p_starts = plan["replicas"]
+
         anchors = np.zeros((self.n_anchor, self.seg_len), np.float32)
         if not self.reduce_batch_first_half:
             # query-synthesis loaders drop anchors from the output; skip
@@ -251,17 +286,11 @@ class SegmentLoader:
                "n_valid": np.int32(n_valid)}
 
         if self.bg_mix:
-            out["bg"] = self._load_sources(
-                idx, rng, self.bg_seg_list, self.index_bg, self.seg_len,
-                random_offset=True)
+            out["bg"] = self._decode(*plan["bg"], self.seg_len)
         if self.ir_mix:
-            out["ir"] = self._load_sources(
-                idx, rng, self.ir_seg_list, self.index_ir, MAX_IR_LENGTH,
-                random_offset=False)
+            out["ir"] = self._decode(*plan["ir"], MAX_IR_LENGTH)
         if self.speech_mix:
-            out["speech"] = self._load_sources(
-                idx, rng, self.speech_seg_list, self.index_speech,
-                self.seg_len, random_offset=True)
+            out["speech"] = self._decode(*plan["speech"], self.seg_len)
         return out
 
     def _decode(self, paths, starts, out_len: int) -> np.ndarray:
@@ -283,8 +312,8 @@ class SegmentLoader:
             out[i] = load_wav_segment(p, int(s), out_len, self.fs)
         return out
 
-    def _load_sources(self, idx, rng, seg_list, index, out_len,
-                      random_offset) -> np.ndarray:
+    def _plan_sources(self, idx, rng, seg_list, index, random_offset):
+        """(paths, starts) for one aug source (bg/ir/speech) of batch idx."""
         n = len(seg_list)
         sel = np.arange(idx * self.n_pos_bsz, (idx + 1) * self.n_pos_bsz) % n
         paths, starts = [], []
@@ -296,9 +325,7 @@ class SegmentLoader:
                 start += off
             paths.append(fname)
             starts.append(start)
-        if not paths:
-            return np.zeros((0, out_len), np.float32)
-        return self._decode(paths, starts, out_len)
+        return paths, starts
 
 
 def prefetch(loader: SegmentLoader, n_prefetch: int = 2):

@@ -90,6 +90,12 @@ def generate_fingerprint(cfg: Dict[str, Any],
 
     dataset = Dataset(cfg)
     ds = get_data_source(cfg, dataset, source_root_dir, skip_dummy)
+    # DEVICE.DEVICE_CORPUS: make each source resident in HBM and gather
+    # segments on device — inference batches then cost O(1) link bytes
+    # (see data/device_corpus.py). Oversized sources (e.g. a true 100k-song
+    # dummy-db) fall back to host streaming per the configured budget.
+    from nafp_tpu.data.device_corpus import maybe_device_loader
+    ds = {k: maybe_device_loader(v, cfg, label=k) for k, v in ds.items()}
 
     out_root = output_root_dir or cfg["DIR"]["OUTPUT_ROOT_DIR"]
     out_dir = os.path.join(out_root, checkpoint_name, str(checkpoint_index))

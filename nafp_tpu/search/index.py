@@ -22,6 +22,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from nafp_tpu.utils.device import _update_rows, chunked_device_put
+
 
 # ---------------------------------------------------------------------------
 # Exact flat index
@@ -849,11 +851,6 @@ def _ivfsq8_search_block(q, centroids, vecs8, scales, starts_arr, ids_arr,
 
 
 @functools.partial(jax.jit, donate_argnums=(0,))
-def _update_rows(buf: jax.Array, blk: jax.Array, start: jax.Array):
-    return jax.lax.dynamic_update_slice_in_dim(buf, blk, start, axis=0)
-
-
-@functools.partial(jax.jit, donate_argnums=(0,))
 def _gather_rows_into(dst: jax.Array, src: jax.Array, idxs: jax.Array,
                       start: jax.Array):
     rows = jnp.take(src, idxs, axis=0)
@@ -877,22 +874,10 @@ def _device_permute_rows(src: jax.Array, order: np.ndarray,
     return dst
 
 
-def _chunked_device_put(arr: np.ndarray,
-                        chunk_bytes: int = 128 << 20) -> jax.Array:
-    """Device-put a large host array in bounded-size row chunks."""
-    nbytes = arr.size * arr.itemsize
-    if nbytes <= chunk_bytes:
-        return jnp.asarray(arr)
-    rows = max(1, chunk_bytes // max(1, arr[0:1].size * arr.itemsize))
-    buf = jnp.zeros(arr.shape, arr.dtype)
-    nfull = (len(arr) // rows) * rows
-    for s in range(0, nfull, rows):           # one executable (full blocks)
-        buf = _update_rows(buf, jnp.asarray(np.ascontiguousarray(
-            arr[s:s + rows])), jnp.asarray(s, jnp.int32))
-    if nfull < len(arr):                      # one more for the tail shape
-        buf = _update_rows(buf, jnp.asarray(np.ascontiguousarray(
-            arr[nfull:])), jnp.asarray(nfull, jnp.int32))
-    return buf
+# Bounded-chunk uploads live in utils/device.py (shared with the
+# device-resident corpus loader, data/device_corpus.py); keep the private
+# aliases so index code and tests read the same.
+_chunked_device_put = chunked_device_put
 
 
 # ---------------------------------------------------------------------------

@@ -286,6 +286,14 @@ def trainer(cfg: Dict[str, Any], checkpoint_name: str) -> None:
     total_steps = int(cfg["TRAIN"]["MAX_EPOCH"]) * len(train_ds)
     optimizer = build_optimizer(cfg, total_steps)
 
+    # Optional device-resident corpus (DEVICE.DEVICE_CORPUS): songs live in
+    # HBM as int16 and each step ships only (row, start) indices — the
+    # TPU-native replacement for per-step waveform shipping when the corpus
+    # fits (see data/device_corpus.py). Batches come back as device arrays;
+    # everything downstream is unchanged.
+    from nafp_tpu.data.device_corpus import maybe_device_loader
+    train_ds = maybe_device_loader(train_ds, cfg, label="train corpus")
+
     params = init_params(cfg, model, mcfg)
     # Optimizer state covers the 'params' collection only; BN batch_stats
     # ride along in TrainState.params but are updated by the model, not
@@ -309,7 +317,8 @@ def trainer(cfg: Dict[str, Any], checkpoint_name: str) -> None:
                                            ("ir", ds.ir_mix),
                                            ("speech", ds.speech_mix)) if flag)
 
-    val_ds = dataset.get_val_ds(max_song=250)
+    val_ds = maybe_device_loader(dataset.get_val_ds(max_song=250), cfg,
+                                 label="val corpus")
     train_step = make_train_step(cfg, melspec_fn, specaug_fn, model,
                                  optimizer, mesh, aug_keys=_aug_keys(train_ds))
     val_step = make_val_step(cfg, melspec_fn, specaug_fn, model, mesh,
@@ -373,8 +382,14 @@ def trainer(cfg: Dict[str, Any], checkpoint_name: str) -> None:
             helper.log_sim_images("val_sim_mtx", np.asarray(sim), ep)
         print(f"tr_loss:{tr_loss:.4f}, val_loss:{val_loss:.4f}")
 
-        helper.save(ep, {"params": state.params,
-                         "opt_state": state.opt_state, "step": state.step})
+        # TRAIN.CHECKPOINT_INTERVAL (epochs, default 1 = reference parity:
+        # save every epoch). A checkpoint fetches params+opt state to host;
+        # hosts behind slow device links (or very short epochs) raise this.
+        ckpt_every = int(cfg["TRAIN"].get("CHECKPOINT_INTERVAL", 1) or 1)
+        if ep % ckpt_every == 0 or ep == ep_max:
+            helper.save(ep, {"params": state.params,
+                             "opt_state": state.opt_state,
+                             "step": state.step})
 
         if cfg["TRAIN"].get("MINI_TEST_IN_TRAIN"):
             accs_by_scope, scopes, key_strs = mini_search_validation(

@@ -7,9 +7,40 @@ set_memory_growth knob; what production users need instead is visibility
 """
 from __future__ import annotations
 
+import functools
 from typing import Dict, List
 
 import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@functools.partial(jax.jit, donate_argnums=(0,))
+def _update_rows(buf: jax.Array, blk: jax.Array, start: jax.Array):
+    return jax.lax.dynamic_update_slice_in_dim(buf, blk, start, axis=0)
+
+
+def chunked_device_put(arr: np.ndarray,
+                       chunk_bytes: int = 128 << 20) -> jax.Array:
+    """Device-put a large host array in bounded-size row chunks.
+
+    One donated dynamic-update executable handles every full block (plus
+    one for the tail shape), so peak transfer-buffer use stays at
+    ``chunk_bytes`` regardless of array size — required for multi-GB
+    stores through links with bounded transfer buffers."""
+    nbytes = arr.size * arr.itemsize
+    if nbytes <= chunk_bytes:
+        return jnp.asarray(arr)
+    rows = max(1, chunk_bytes // max(1, arr[0:1].size * arr.itemsize))
+    buf = jnp.zeros(arr.shape, arr.dtype)
+    nfull = (len(arr) // rows) * rows
+    for s in range(0, nfull, rows):           # one executable (full blocks)
+        buf = _update_rows(buf, jnp.asarray(np.ascontiguousarray(
+            arr[s:s + rows])), jnp.asarray(s, jnp.int32))
+    if nfull < len(arr):                      # one more for the tail shape
+        buf = _update_rows(buf, jnp.asarray(np.ascontiguousarray(
+            arr[nfull:])), jnp.asarray(nfull, jnp.int32))
+    return buf
 
 
 def device_memory_stats() -> List[Dict]:
