@@ -112,6 +112,8 @@ def stage_build(root: str, out: dict, index: str = "ivf-sq8"):
     rerun after a timeout) skip the ~hours-long streamed add."""
     if index == "ivfpq":
         return _build_ivfpq(root, out)
+    if index == "sq8":
+        return _build_sq8(root, out)
     from nafp_tpu.search.index import IVFSQ8Index
     mm = load_mm(root)
     idx = IVFSQ8Index(d=D)
@@ -146,6 +148,42 @@ def stage_build(root: str, out: dict, index: str = "ivf-sq8"):
           flush=True)
     out.update(nlist=idx.nlist, list_cap=idx.list_cap,
                train_sec=round(t_train, 1), add_sec=round(t_add, 1))
+    return idx
+
+
+def _build_sq8(root: str, out: dict):
+    """Exact int8 full-scan index (SQ8FlatIndex): no IVF training at all;
+    the build is one quantize pass + the (tunnel-bound) 6.9 GB ship. An
+    existing ivf-sq8 store npz is reused directly — its sorted rows +
+    original-row ids are exactly what a full scan needs."""
+    from nafp_tpu.search.index import SQ8FlatIndex
+    mm = load_mm(root)
+    own_cache = os.path.join(root, "sq8_store.npz")
+    ivf_cache = os.path.join(root, "ivfsq8_store.npz")
+    for cache in (own_cache, ivf_cache):
+        if not os.path.exists(cache):
+            continue
+        try:
+            ok = int(np.load(cache)["ntotal"]) == len(mm)
+        except Exception as e:      # partial write from a killed run
+            print(f"[build] ignoring unreadable cache {cache}: {e}",
+                  flush=True)
+            continue
+        if ok:
+            print(f"[build] loading persisted store {cache}", flush=True)
+            t0 = time.perf_counter()
+            idx = SQ8FlatIndex.load(cache)   # chunked uploads
+            print(f"[build] store resident in "
+                  f"{time.perf_counter()-t0:.0f}s", flush=True)
+            out.update(index="sq8", build_cached=True)
+            return idx
+    idx = SQ8FlatIndex(d=D)
+    t0 = time.perf_counter()
+    idx.add(mm, persist_path=own_cache)
+    t_add = time.perf_counter() - t0
+    print(f"[build] quantized+shipped {idx.ntotal:,} rows in {t_add:.0f}s; "
+          f"store persisted to {own_cache}", flush=True)
+    out.update(index="sq8", add_sec=round(t_add, 1))
     return idx
 
 
@@ -207,8 +245,12 @@ def stage_qps(idx, mm, nq: int, k: int, out: dict, nprobes=None, gt=None,
     q, pick = make_queries(mm, nq)
     skw = {} if qblock is None else {"block": qblock}
     sweep = []
-    for np_ in (nprobes or [idx.nprobe]):
-        idx.nprobe = np_
+    # exact indexes have no nprobe knob: one operating point
+    points = ((nprobes or [idx.nprobe]) if hasattr(idx, "nprobe")
+              else [None])
+    for np_ in points:
+        if np_ is not None:
+            idx.nprobe = np_
         idx.search(q, k, **skw)           # warm with identical shapes
         t0 = time.perf_counter()
         _, ids = idx.search(q, k, **skw)
@@ -323,7 +365,7 @@ def main():
     ap.add_argument("--nprobes", default=None,
                     help="comma-separated nprobe sweep for the qps stage, "
                          "e.g. '40,80,128' (default: the index's 40)")
-    ap.add_argument("--index", choices=("ivf-sq8", "ivfpq"),
+    ap.add_argument("--index", choices=("ivf-sq8", "ivfpq", "sq8"),
                     default="ivf-sq8")
     ap.add_argument("--cpu", action="store_true",
                     help="force the CPU backend (smoke runs; the env var "

@@ -218,18 +218,21 @@ def eval_fingerprints(emb_dir: str,
 
     t0 = time.time()
     index = None
-    if index_cache and index_type == "ivf-sq8" and os.path.exists(index_cache):
-        from nafp_tpu.search.index import IVFSQ8Index
+    from nafp_tpu.search.index import IVFSQ8Index, SQ8FlatIndex
+    cacheable = {"ivf-sq8": IVFSQ8Index, "sq8": SQ8FlatIndex,
+                 "sq8-flat": SQ8FlatIndex}
+    if index_cache and index_type in cacheable \
+            and os.path.exists(index_cache):
         try:
             if int(np.load(index_cache)["ntotal"]) == len(full_db):
-                index = IVFSQ8Index.load(index_cache)
-                print(f"loaded persisted ivf-sq8 store {index_cache}")
+                index = cacheable[index_type].load(index_cache)
+                print(f"loaded persisted {index_type} store {index_cache}")
         except Exception as e:     # partial write from a killed run
             print(f"ignoring unreadable index cache {index_cache}: {e}")
     if index is None:
         index = get_index(index_type, full_db, max_train=max_train)
         if hasattr(index, "add") and index.ntotal == 0:
-            if index_cache and index_type == "ivf-sq8":
+            if index_cache and index_type in cacheable:
                 index.add(full_db, persist_path=index_cache)
             else:
                 index.add(full_db)

@@ -103,6 +103,127 @@ class FlatIndex:
 
 
 # ---------------------------------------------------------------------------
+# Exact int8 flat index (full-scan Pallas kernel)
+# ---------------------------------------------------------------------------
+class SQ8FlatIndex:
+    """Exact search over an int8-quantized device-resident store.
+
+    The TPU-native answer to *large-scale exact* search: int8 + per-vector
+    scale is 129 B/vec (4× smaller than f32), so the full 100×-protocol
+    store (53.6 M × 128 = 6.9 GB) fits one chip's HBM, and the fused
+    Pallas kernel (`topk_ip_sq8_pallas`) streams it tile-by-tile at HBM
+    rate with an in-VMEM running top-k — full recall (int8 rounding only;
+    top-1 agreement with f32 exact is ~100 % on L2-normalized
+    fingerprints), no IVF training, no nprobe tuning.
+
+    Why full scan instead of probing (measured, r3): a batched scan shares
+    every HBM byte across the whole query block, while IVF probe gathers
+    read nq × nprobe × list_cap rows — more traffic than the whole store
+    for nq ≳ 8 at 100× scale. IVF-SQ8 remains the small-batch/low-latency
+    option; this index is the throughput option AND removes the
+    recall-vs-QPS tradeoff. Replaces faiss IndexScalarQuantizer/Flat
+    (reference builds only IndexFlatL2, get_index_faiss.py:57; this keeps
+    exact semantics at a scale faiss-flat could not hold in GPU RAM).
+    """
+
+    BLK = 2048          # kernel DB-tile rows; store is padded to a multiple
+
+    def __init__(self, d: int = 128):
+        self.d = d
+        self.ntotal = 0
+        self._trained = True    # no training stage (exact index)
+
+    def train(self, data: np.ndarray, **_) -> None:  # factory-contract no-op
+        self._trained = True
+
+    def add(self, data, block: int = 1 << 20,
+            persist_path: Optional[str] = None) -> None:
+        """Quantize-and-ship: stream ``data`` (array or disk memmap)
+        block-by-block, int8-quantize on the host, upload in bounded
+        chunks. No coarse assignment, no sort — rows keep their order."""
+        n = len(data)
+        pad = (-n) % self.BLK
+        q8 = np.zeros((n + pad, self.d), np.int8)
+        scales = np.zeros(n + pad, np.float32)
+        xbuf = np.empty((min(block, n), self.d), np.float32)  # warm buffer
+        for s in range(0, n, block):
+            e = min(s + block, n)
+            x = xbuf[:e - s]
+            x[:] = data[s:e]
+            sc = np.maximum(np.abs(x).max(axis=1), 1e-12) / 127.0
+            x /= sc[:, None]
+            np.rint(x, out=x)
+            np.clip(x, -127, 127, out=x)
+            q8[s:e] = x
+            scales[s:e] = sc
+        ids = np.full(n + pad, -1, np.int32)
+        ids[:n] = np.arange(n, dtype=np.int32)
+        self.ntotal = n
+        if persist_path:
+            np.savez(persist_path, ntotal=n, vecs8=q8, scales=scales,
+                     ids=ids)
+        self._publish(q8, scales, ids)
+
+    def _publish(self, q8: np.ndarray, scales: np.ndarray,
+                 ids: np.ndarray) -> None:
+        self.vecs8 = _chunked_device_put(q8)
+        self.scales = _chunked_device_put(scales)
+        self.ids = _chunked_device_put(ids)
+        self.rmask = jnp.where(self.ids >= 0, 0.0, -1e30).astype(jnp.float32)
+
+    @classmethod
+    def load(cls, path: str) -> "SQ8FlatIndex":
+        """Load a store persisted by ``add(persist_path=...)`` — or an
+        IVF-SQ8 store npz (``IVFSQ8Index.add(persist_path=...)``): the
+        sorted int8 rows + original-row ids are exactly what a full scan
+        needs, so the hours-long 100×-scale quantize+ship can be reused
+        across both index types."""
+        z = np.load(path)
+        q8, scales, ids = z["vecs8"], z["scales"], z["ids"]
+        d = q8.shape[1]
+        idx = cls(d=d)
+        idx.ntotal = int(z["ntotal"])
+        extra = (-len(q8)) % cls.BLK
+        if extra:   # IVF stores pad to list_cap, not BLK: repad
+            q8 = np.concatenate(
+                [q8, np.zeros((extra, d), np.int8)])
+            scales = np.concatenate([scales, np.zeros(extra, np.float32)])
+            ids = np.concatenate([ids, np.full(extra, -1, np.int32)])
+        idx._publish(q8, scales, ids)
+        return idx
+
+    @staticmethod
+    @functools.partial(jax.jit, static_argnames=("k", "interpret"))
+    def _search_block(q, vecs8, scales, rmask, ids, k: int, interpret: bool):
+        from nafp_tpu.search.pallas_topk import topk_ip_sq8_pallas
+        v, pos = topk_ip_sq8_pallas(q, vecs8, scales, rmask, k=k,
+                                    interpret=interpret)
+        out = jnp.take(ids, jnp.maximum(pos, 0))
+        return v, jnp.where(pos < 0, -1, out)
+
+    def search(self, q: np.ndarray, k: int,
+               block: int = 1024) -> Tuple[np.ndarray, np.ndarray]:
+        q = np.asarray(q, np.float32)
+        # the (block, BLK) f32 sim tile must fit the kernel's VMEM budget
+        block = min(block, (8 << 20) // (self.BLK * 4))
+        interpret = jax.default_backend() != "tpu"
+        outs_d, outs_i = [], []
+        for s in range(0, len(q), block):
+            blk = q[s:s + block]
+            pad = block - len(blk) if len(blk) < block and len(q) > block \
+                else 0
+            if pad:
+                blk = np.pad(blk, ((0, pad), (0, 0)))
+            d, ids = self._search_block(jnp.asarray(blk), self.vecs8,
+                                        self.scales, self.rmask, self.ids,
+                                        k, interpret)
+            n = len(blk) - pad
+            outs_d.append(np.asarray(d[:n]))
+            outs_i.append(np.asarray(ids[:n]))
+        return np.concatenate(outs_d), np.concatenate(outs_i)
+
+
+# ---------------------------------------------------------------------------
 # K-means (Lloyd iterations as matmuls)
 # ---------------------------------------------------------------------------
 def _kmeanspp_init(data: jax.Array, k: int, key: jax.Array) -> jax.Array:
@@ -909,6 +1030,10 @@ def get_index(index_type: str, train_data: np.ndarray,
         idx = IVFSQ8Index(d=d, nprobe=nprobe)  # nlist auto ~ sqrt(N)
         idx.train(train_data, max_train=sq8_cap)
         return idx
+    if t in ("sq8", "sq8-flat"):
+        # exact full-scan over the int8 store (fused Pallas kernel); the
+        # throughput option at 100x scale — no recall/nprobe tradeoff
+        return SQ8FlatIndex(d=d)
     if t == "ivf-sq8-sharded":
         # the scalable index with every inverted list row-sharded over the
         # device mesh (capacity + per-probe compute scale with mesh size)

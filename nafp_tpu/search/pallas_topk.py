@@ -45,6 +45,62 @@ from jax.experimental.pallas import tpu as pltpu
 NEG = -1e30
 
 
+def _merge_tile(sim, base, best_v, best_i):
+    """Merge a (Bq, BLK) score tile into the running per-query top-k held
+    in the (Bq, k) VMEM scratch refs. Filter-then-insert: only entries
+    beating the per-row current worst enter the while_loop."""
+    bv, bi = best_v[:], best_i[:]
+    w = jnp.min(bv, axis=1, keepdims=True)                   # (Bq, 1)
+    cand = jnp.where(sim > w, sim, NEG)
+
+    def has_candidates(carry):
+        cand, _, _ = carry
+        return jnp.any(cand > NEG / 2)
+
+    def insert_one(carry):
+        cand, bv, bi = carry
+        m = jnp.max(cand, axis=1, keepdims=True)             # (Bq, 1)
+        am = jnp.argmax(cand, axis=1, keepdims=True)
+        hit = jax.lax.broadcasted_iota(jnp.int32, cand.shape, 1) == am
+        cand_pos = (am + base).astype(jnp.int32)
+        cand = jnp.where(hit, NEG, cand)
+        # replace the current worst running entry if the candidate beats it
+        wv = jnp.min(bv, axis=1, keepdims=True)
+        wi = jnp.argmin(bv, axis=1, keepdims=True)
+        take = m > wv
+        slot = jax.lax.broadcasted_iota(jnp.int32, bv.shape, 1) == wi
+        bv = jnp.where(slot & take, m, bv)
+        bi = jnp.where(slot & take, cand_pos, bi)
+        return (cand, bv, bi)
+
+    _, bv, bi = jax.lax.while_loop(has_candidates, insert_one,
+                                   (cand, bv, bi))
+    best_v[:] = bv
+    best_i[:] = bi
+
+
+def _finish_sort(best_v, best_i, out_v_ref, out_i_ref, k: int):
+    """Sort the k running entries descending (k is tiny: selection sort)."""
+    def order_one(pos, carry):
+        bv, bi, ov, oi = carry
+        m = jnp.max(bv, axis=1, keepdims=True)
+        am = jnp.argmax(bv, axis=1, keepdims=True)
+        hit = jax.lax.broadcasted_iota(jnp.int32, bv.shape, 1) == am
+        # one-hot row-select (Mosaic lacks this gather shape)
+        ids = jnp.sum(jnp.where(hit, bi, 0), axis=1, keepdims=True)
+        bv = jnp.where(hit, NEG, bv)
+        here = jax.lax.broadcasted_iota(jnp.int32, ov.shape, 1) == pos
+        ov = jnp.where(here, m, ov)
+        oi = jnp.where(here, ids, oi)
+        return (bv, bi, ov, oi)
+
+    init = (best_v[:], best_i[:], jnp.zeros_like(best_v),
+            jnp.zeros_like(best_i))
+    _, _, ov, oi = jax.lax.fori_loop(0, k, order_one, init)
+    out_v_ref[:] = ov
+    out_i_ref[:] = oi
+
+
 def _kernel_body(q_ref, db_ref, rmask_ref, bias_ref, out_v_ref, out_i_ref,
                  best_v, best_i, *, k: int, blk: int, lt: int):
     j = pl.program_id(0)
@@ -77,59 +133,11 @@ def _kernel_body(q_ref, db_ref, rmask_ref, bias_ref, out_v_ref, out_i_ref,
             bt, expand, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)              # (Bq, blk)
 
-    bv, bi = best_v[:], best_i[:]
-    # Filter against the per-row current worst: only strictly-better
-    # entries can enter the running set.
-    w = jnp.min(bv, axis=1, keepdims=True)                   # (Bq, 1)
-    cand = jnp.where(sim > w, sim, NEG)
-    base = j * blk
-
-    def has_candidates(carry):
-        cand, _, _ = carry
-        return jnp.any(cand > NEG / 2)
-
-    def insert_one(carry):
-        cand, bv, bi = carry
-        m = jnp.max(cand, axis=1, keepdims=True)             # (Bq, 1)
-        am = jnp.argmax(cand, axis=1, keepdims=True)
-        hit = jax.lax.broadcasted_iota(jnp.int32, cand.shape, 1) == am
-        cand_pos = (am + base).astype(jnp.int32)
-        cand = jnp.where(hit, NEG, cand)
-        # replace the current worst running entry if the candidate beats it
-        wv = jnp.min(bv, axis=1, keepdims=True)
-        wi = jnp.argmin(bv, axis=1, keepdims=True)
-        take = m > wv
-        slot = jax.lax.broadcasted_iota(jnp.int32, bv.shape, 1) == wi
-        bv = jnp.where(slot & take, m, bv)
-        bi = jnp.where(slot & take, cand_pos, bi)
-        return (cand, bv, bi)
-
-    _, bv, bi = jax.lax.while_loop(has_candidates, insert_one,
-                                   (cand, bv, bi))
-    best_v[:] = bv
-    best_i[:] = bi
+    _merge_tile(sim, j * blk, best_v, best_i)
 
     @pl.when(j == n_blocks - 1)
     def _finish():
-        # sort the k running entries descending (k is tiny: selection sort)
-        def order_one(pos, carry):
-            bv, bi, ov, oi = carry
-            m = jnp.max(bv, axis=1, keepdims=True)
-            am = jnp.argmax(bv, axis=1, keepdims=True)
-            hit = jax.lax.broadcasted_iota(jnp.int32, bv.shape, 1) == am
-            # one-hot row-select (Mosaic lacks this gather shape)
-            ids = jnp.sum(jnp.where(hit, bi, 0), axis=1, keepdims=True)
-            bv = jnp.where(hit, NEG, bv)
-            here = jax.lax.broadcasted_iota(jnp.int32, ov.shape, 1) == pos
-            ov = jnp.where(here, m, ov)
-            oi = jnp.where(here, ids, oi)
-            return (bv, bi, ov, oi)
-
-        init = (best_v[:], best_i[:], jnp.zeros_like(best_v),
-                jnp.zeros_like(best_i))
-        _, _, ov, oi = jax.lax.fori_loop(0, k, order_one, init)
-        out_v_ref[:] = ov
-        out_i_ref[:] = oi
+        _finish_sort(best_v, best_i, out_v_ref, out_i_ref, k)
 
 
 def _kernel_plain(q_ref, db_ref, rmask_ref, out_v_ref, out_i_ref,
@@ -210,6 +218,95 @@ def topk_ip_pallas(q: jax.Array, db: jax.Array, k: int = 32,
     return _call(q.astype(jnp.float32), db.astype(jnp.float32),
                  rmask.reshape(n_pad // 128, 128), None,
                  k=k, blk=blk, lt=blk, interpret=interpret)
+
+
+def _kernel_sq8(q_ref, db_ref, scale_ref, rmask_ref, out_v_ref, out_i_ref,
+                best_v, best_i, *, k: int, blk: int, ct):
+    """Int8-store tile: dequantize on the fly (convert + per-row scale),
+    one fused VPU chain with the validity mask, then the shared merge."""
+    j = pl.program_id(0)
+    n_blocks = pl.num_programs(0)
+
+    @pl.when(j == 0)
+    def _init():
+        best_v[:] = jnp.full_like(best_v, NEG)
+        best_i[:] = jnp.full_like(best_i, -1)
+
+    # (Bq, BLK) int8-decoded similarity tile on the MXU. The int8 block
+    # converts to the compute dtype in VMEM (blk*d elements — tiny next to
+    # the (Bq, blk) sim tile the VPU chain below touches anyway).
+    sim = jnp.dot(q_ref[:], db_ref[:].astype(ct).T,
+                  preferred_element_type=jnp.float32)
+
+    # per-DB-row scale (multiplicative) + validity mask (additive): row t
+    # of each (blk/128, 128) block covers sim columns [t*128, (t+1)*128)
+    sc, rm = scale_ref[:], rmask_ref[:]
+    parts = [sim[:, t * 128:(t + 1) * 128] * sc[t:t + 1, :] + rm[t:t + 1, :]
+             for t in range(blk // 128)]
+    sim = jnp.concatenate(parts, axis=1) if len(parts) > 1 else parts[0]
+
+    _merge_tile(sim, j * blk, best_v, best_i)
+
+    @pl.when(j == n_blocks - 1)
+    def _finish():
+        _finish_sort(best_v, best_i, out_v_ref, out_i_ref, k)
+
+
+@functools.partial(jax.jit, static_argnames=("k", "blk", "interpret"))
+def topk_ip_sq8_pallas(q: jax.Array, vecs8: jax.Array, scales: jax.Array,
+                       rmask: jax.Array, k: int = 20, blk: int = 2048,
+                       interpret: bool = False):
+    """Exact top-k inner product over an int8 store with per-row scales.
+
+    q: (Bq, d) float32; vecs8: (N, d) int8 with N a multiple of ``blk``;
+    scales: (N,) float32 (0 on padding rows); rmask: (N,) float32 additive
+    validity (0 valid / NEG invalid — padding AND tombstones). Returns
+    (scores, positions); positions are row indices into ``vecs8`` (callers
+    map to their own ids), -1 where masked. The full (Bq, N) score matrix
+    never exists: DB tiles stream HBM→VMEM, dequantize in-register, and
+    merge into a (Bq, k) running set — the int8 store is 4× smaller than
+    f32, so the whole 100×-protocol DB (53.6 M × 128 = 6.9 GB) scans from
+    one chip's HBM at streaming rate. Replaces faiss's SQ8 flat scan
+    (IndexScalarQuantizer), reference get_index_faiss.py:10-121.
+    """
+    n, d = vecs8.shape
+    bq = q.shape[0]
+    assert n % blk == 0 and blk % 1024 == 0, (n, blk)
+    assert bq * blk * 4 <= 8 * 2**20, \
+        f"sim tile {bq}x{blk} too large for VMEM; block the queries"
+    # bf16 q on the MXU; CPU XLA (interpret-mode tests) can't do
+    # bf16×bf16→f32 dots, so interpret computes in f32
+    ct = jnp.float32 if interpret else jnp.bfloat16
+    n_blocks = n // blk
+    out_v, out_i = pl.pallas_call(
+        functools.partial(_kernel_sq8, k=k, blk=blk, ct=ct),
+        grid=(n_blocks,),
+        in_specs=[
+            pl.BlockSpec((bq, d), lambda j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((blk, d), lambda j: (j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((blk // 128, 128), lambda j: (j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((blk // 128, 128), lambda j: (j, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((bq, k), lambda j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bq, k), lambda j: (0, 0), memory_space=pltpu.VMEM),
+        ),
+        out_shape=(jax.ShapeDtypeStruct((bq, k), jnp.float32),
+                   jax.ShapeDtypeStruct((bq, k), jnp.int32)),
+        scratch_shapes=[pltpu.VMEM((bq, k), jnp.float32),
+                        pltpu.VMEM((bq, k), jnp.int32)],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * bq * n * d,
+            bytes_accessed=n * d + bq * d * 4 + 2 * n * 4,
+            transcendentals=0),
+        interpret=interpret,
+    )(q.astype(ct), vecs8,
+      scales.reshape(n // 128, 128), rmask.reshape(n // 128, 128))
+    out_i = jnp.where(out_v <= NEG / 2, -1, out_i)
+    return out_v, out_i
 
 
 @functools.partial(jax.jit,
