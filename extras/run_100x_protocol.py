@@ -159,8 +159,8 @@ def _build_sq8(root: str, out: dict):
     from nafp_tpu.search.index import SQ8FlatIndex
     mm = load_mm(root)
     own_cache = os.path.join(root, "sq8_store.npz")
-    ivf_cache = os.path.join(root, "ivfsq8_store.npz")
-    for cache in (own_cache, ivf_cache):
+    for cache in (own_cache, os.path.join(root, "ivfsq8_store.npz"),
+                  os.path.join(root, "ivf-sq8_store.npz")):
         if not os.path.exists(cache):
             continue
         try:

@@ -149,8 +149,11 @@ def main():
 
     if "eval" in stages:
         from nafp_tpu.search.evaluate import eval_fingerprints
-        cache = (os.path.join(args.root, f"{args.index}_store.npz")
-                 if args.index == "ivf-sq8" else None)
+        # sq8 (exact full scan) reuses the ivf-sq8 store file: sorted int8
+        # rows + original-row ids are exactly what the flat scan needs, so
+        # the hours-long quantize+persist is shared between the two evals
+        cache = (os.path.join(args.root, "ivf-sq8_store.npz")
+                 if args.index in ("ivf-sq8", "sq8") else None)
         rates = eval_fingerprints(
             args.root, emb_dummy_dir=args.root, index_type=args.index,
             test_ids=args.test_ids, index_cache=cache)
