@@ -105,6 +105,30 @@ class FlatIndex:
 # ---------------------------------------------------------------------------
 # Exact int8 flat index (full-scan Pallas kernel)
 # ---------------------------------------------------------------------------
+def _quantize_sq8_host(data, pad_multiple: int, block: int = 1 << 20):
+    """Host-side per-row int8 quantization of an array or disk memmap,
+    padded to a multiple of ``pad_multiple`` rows (pad rows id -1 / scale
+    0). Returns (q8, scales, ids) host arrays."""
+    n, d = len(data), data.shape[1]
+    pad = (-n) % pad_multiple
+    q8 = np.zeros((n + pad, d), np.int8)
+    scales = np.zeros(n + pad, np.float32)
+    xbuf = np.empty((min(block, n), d), np.float32)   # warm reused buffer
+    for s in range(0, n, block):
+        e = min(s + block, n)
+        x = xbuf[:e - s]
+        x[:] = data[s:e]
+        sc = np.maximum(np.abs(x).max(axis=1), 1e-12) / 127.0
+        x /= sc[:, None]
+        np.rint(x, out=x)
+        np.clip(x, -127, 127, out=x)
+        q8[s:e] = x
+        scales[s:e] = sc
+    ids = np.full(n + pad, -1, np.int32)
+    ids[:n] = np.arange(n, dtype=np.int32)
+    return q8, scales, ids
+
+
 class SQ8FlatIndex:
     """Exact search over an int8-quantized device-resident store.
 
@@ -142,22 +166,7 @@ class SQ8FlatIndex:
         block-by-block, int8-quantize on the host, upload in bounded
         chunks. No coarse assignment, no sort — rows keep their order."""
         n = len(data)
-        pad = (-n) % self.BLK
-        q8 = np.zeros((n + pad, self.d), np.int8)
-        scales = np.zeros(n + pad, np.float32)
-        xbuf = np.empty((min(block, n), self.d), np.float32)  # warm buffer
-        for s in range(0, n, block):
-            e = min(s + block, n)
-            x = xbuf[:e - s]
-            x[:] = data[s:e]
-            sc = np.maximum(np.abs(x).max(axis=1), 1e-12) / 127.0
-            x /= sc[:, None]
-            np.rint(x, out=x)
-            np.clip(x, -127, 127, out=x)
-            q8[s:e] = x
-            scales[s:e] = sc
-        ids = np.full(n + pad, -1, np.int32)
-        ids[:n] = np.arange(n, dtype=np.int32)
+        q8, scales, ids = _quantize_sq8_host(data, self.BLK, block)
         self.ntotal = n
         if persist_path:
             np.savez(persist_path, ntotal=n, vecs8=q8, scales=scales,
@@ -1034,6 +1043,9 @@ def get_index(index_type: str, train_data: np.ndarray,
         # exact full-scan over the int8 store (fused Pallas kernel); the
         # throughput option at 100x scale — no recall/nprobe tradeoff
         return SQ8FlatIndex(d=d)
+    if t == "sq8-sharded":
+        from nafp_tpu.search.sharded import ShardedSQ8FlatIndex
+        return ShardedSQ8FlatIndex(d=d)
     if t == "ivf-sq8-sharded":
         # the scalable index with every inverted list row-sharded over the
         # device mesh (capacity + per-probe compute scale with mesh size)

@@ -89,6 +89,86 @@ class ShardedFlatIndex:
             outs_i.append(np.asarray(i[:n], np.int64))
         return np.concatenate(outs_d), np.concatenate(outs_i)
 
+class ShardedSQ8FlatIndex:
+    """Exact int8 full scan with the store row-sharded over the mesh.
+
+    The multi-chip form of ``SQ8FlatIndex``: each device holds N/R rows of
+    the int8 store and streams them through the fused Pallas kernel
+    (``topk_ip_sq8_pallas``); a k-sized ``all_gather`` + merge yields exact
+    global top-k. Capacity and scan time both scale with R — the v4-8
+    north-star configuration holds 8× the store (or scans 8× faster) with
+    per-query ICI traffic of R*k entries.
+    """
+
+    BLK = 2048
+
+    def __init__(self, d: int = 128, mesh: Optional[Mesh] = None):
+        self.d = d
+        self.mesh = mesh or make_data_mesh()
+        self.ntotal = 0
+        self._trained = True
+        self._search_jit = {}
+
+    def train(self, data, **_) -> None:    # factory-contract no-op
+        self._trained = True
+
+    def add(self, data, block: int = 1 << 20) -> None:
+        from nafp_tpu.search.index import _quantize_sq8_host
+        R = self.mesh.size
+        # pad so every shard is a whole number of kernel tiles
+        q8, scales, ids = _quantize_sq8_host(data, R * self.BLK, block)
+        self.ntotal = len(data)
+        put = lambda a: jax.device_put(jnp.asarray(a),
+                                       NamedSharding(self.mesh, P("data")))
+        self.vecs8 = put(q8)
+        self.scales = put(scales)
+        self.ids = put(ids)
+        self.rmask = put(np.where(ids >= 0, 0.0, -1e30).astype(np.float32))
+
+    def _build(self, k: int):
+        from nafp_tpu.search.pallas_topk import topk_ip_sq8_pallas
+        interpret = jax.default_backend() != "tpu"
+        blk = self.BLK
+
+        def local(q, vecs8, scales, rmask, ids):
+            v, pos = topk_ip_sq8_pallas(q, vecs8, scales, rmask, k=k,
+                                        blk=blk, interpret=interpret)
+            gid = jnp.take(ids, jnp.maximum(pos, 0))
+            gid = jnp.where(pos < 0, -1, gid)
+            v_all = jax.lax.all_gather(v, "data", axis=1, tiled=True)
+            g_all = jax.lax.all_gather(gid, "data", axis=1, tiled=True)
+            vv, sel = jax.lax.top_k(v_all, k)
+            ii = jnp.take_along_axis(g_all, sel, axis=1)
+            return vv, jnp.where(ii >= 0, ii, -1)
+
+        fn = shard_map(local, mesh=self.mesh,
+                       in_specs=(P(), P("data"), P("data"), P("data"),
+                                 P("data")),
+                       out_specs=(P(), P()), check_vma=False)
+        return jax.jit(fn)
+
+    def search(self, q: np.ndarray, k: int,
+               block: int = 1024) -> Tuple[np.ndarray, np.ndarray]:
+        block = min(block, (8 << 20) // (self.BLK * 4))
+        if k not in self._search_jit:
+            self._search_jit[k] = self._build(k)
+        fn = self._search_jit[k]
+        q = np.asarray(q, np.float32)
+        outs_d, outs_i = [], []
+        for s in range(0, len(q), block):
+            blk = q[s:s + block]
+            pad = block - len(blk) if len(blk) < block and len(q) > block \
+                else 0
+            if pad:
+                blk = np.pad(blk, ((0, pad), (0, 0)))
+            v, i = fn(jnp.asarray(blk), self.vecs8, self.scales,
+                      self.rmask, self.ids)
+            n = len(blk) - pad
+            outs_d.append(np.asarray(v[:n]))
+            outs_i.append(np.asarray(i[:n]))
+        return np.concatenate(outs_d), np.concatenate(outs_i)
+
+
 class ShardedIVFSQ8Index(IVFSQ8Index):
     """IVF-SQ8 with every inverted list row-sharded over the device mesh.
 

@@ -88,3 +88,25 @@ def test_sharded_ivfsq8_partial_probe_recall(rng):
     r_sharded = recall(ShardedIVFSQ8Index(d=32, nlist=32, nprobe=8))
     assert r_sharded >= r_single - 0.02
     assert r_sharded > 0.5
+
+
+def test_sharded_sq8flat_matches_single_device(rng):
+    """Row-sharded exact int8 scan == single-device SQ8FlatIndex: the
+    shards cover disjoint row ranges and the merge is a global top-k, so
+    ids and scores must match exactly (same quantization per row)."""
+    from nafp_tpu.search.index import SQ8FlatIndex
+    from nafp_tpu.search.sharded import ShardedSQ8FlatIndex
+    db = rng.standard_normal((5003, 128)).astype(np.float32)
+    db /= np.linalg.norm(db, axis=1, keepdims=True)
+    q = db[rng.integers(0, 5003, 16)] + \
+        0.02 * rng.standard_normal((16, 128)).astype(np.float32)
+    single = SQ8FlatIndex()
+    single.add(db)
+    sv, si = single.search(q, k=5)
+    sharded = ShardedSQ8FlatIndex()
+    assert sharded.mesh.size == 8
+    sharded.add(db)
+    mv, mi = sharded.search(q, k=5)
+    np.testing.assert_array_equal(mi, si)
+    np.testing.assert_allclose(mv, sv, rtol=1e-6)
+    assert (mi >= 0).all() and (mi < 5003).all()
