@@ -93,26 +93,11 @@ def _write_walks(path_base: str, n_songs: int, segs: int, alpha: float,
     np.save(path_base + "_shape.npy", np.asarray((n, D)))
 
 
-def stage_gen(root: str, n_dummy_songs: int, dummy_segs: int,
-              n_db_songs: int, db_segs: int, alpha: float,
-              noise: float) -> None:
-    done = os.path.join(root, "gen.done.json")
-    want = dict(n_dummy_songs=n_dummy_songs, dummy_segs=dummy_segs,
-                n_db_songs=n_db_songs, db_segs=db_segs, alpha=alpha,
-                noise=noise)
-    if os.path.exists(done) and json.load(open(done)) == want:
-        print("[gen] exists", flush=True)
-        return
-    print(f"[gen] dummy_db {n_dummy_songs:,} songs x {dummy_segs} segs "
-          f"({n_dummy_songs * dummy_segs * D * 4 / 2**30:.1f} GiB)",
-          flush=True)
-    rng = np.random.default_rng(2024)
-    _write_walks(os.path.join(root, "dummy_db"), n_dummy_songs, dummy_segs,
-                 alpha, rng)
-    print(f"[gen] db {n_db_songs} songs x {db_segs} segs", flush=True)
-    _write_walks(os.path.join(root, "db"), n_db_songs, db_segs, alpha, rng)
+def _write_queries(root: str, n_db_songs: int, db_segs: int,
+                   noise: float) -> None:
     db = np.memmap(os.path.join(root, "db.mm"), np.float32, "r",
                    shape=(n_db_songs * db_segs, D))
+    rng = np.random.default_rng(777)
     q = np.asarray(db) + noise * rng.standard_normal(
         (len(db), D)).astype(np.float32)
     q /= np.linalg.norm(q, axis=1, keepdims=True)
@@ -123,6 +108,39 @@ def stage_gen(root: str, n_dummy_songs: int, dummy_segs: int,
     np.save(os.path.join(root, "query_shape.npy"), np.asarray(q.shape))
     cos = float(np.mean(np.sum(q * db, axis=1)))
     print(f"[gen] query cos(q, db) mean = {cos:.4f}", flush=True)
+
+
+def stage_gen(root: str, n_dummy_songs: int, dummy_segs: int,
+              n_db_songs: int, db_segs: int, alpha: float,
+              noise: float) -> None:
+    done = os.path.join(root, "gen.done.json")
+    want = dict(n_dummy_songs=n_dummy_songs, dummy_segs=dummy_segs,
+                n_db_songs=n_db_songs, db_segs=db_segs, alpha=alpha,
+                noise=noise)
+    have = json.load(open(done)) if os.path.exists(done) else None
+    if have == want:
+        print("[gen] exists", flush=True)
+        return
+    if have is not None and {k: v for k, v in have.items() if k != "noise"} \
+            == {k: v for k, v in want.items() if k != "noise"}:
+        # only the query noise changed: the dummy/db walks (and any
+        # persisted index store built from them) are reusable — rewrite
+        # just query.mm for the new operating point
+        print(f"[gen] noise {have['noise']} -> {noise}: regenerating "
+              "queries only", flush=True)
+        _write_queries(root, n_db_songs, db_segs, noise)
+        with open(done, "w") as f:
+            json.dump(want, f)
+        return
+    print(f"[gen] dummy_db {n_dummy_songs:,} songs x {dummy_segs} segs "
+          f"({n_dummy_songs * dummy_segs * D * 4 / 2**30:.1f} GiB)",
+          flush=True)
+    rng = np.random.default_rng(2024)
+    _write_walks(os.path.join(root, "dummy_db"), n_dummy_songs, dummy_segs,
+                 alpha, rng)
+    print(f"[gen] db {n_db_songs} songs x {db_segs} segs", flush=True)
+    _write_walks(os.path.join(root, "db"), n_db_songs, db_segs, alpha, rng)
+    _write_queries(root, n_db_songs, db_segs, noise)
     with open(done, "w") as f:
         json.dump(want, f)
 
