@@ -1,0 +1,307 @@
+#!/usr/bin/env python
+"""Micro-benchmark of sq8 full-scan Pallas kernel variants (r3 experiment).
+
+The measured 53.6 M exact scan (1,673 QPS) is ~36x off the HBM streaming
+bound: per 512-query call the kernel moves 6.9 GB of int8 (8.4 ms at
+819 GB/s) but takes ~305 ms. The budget is VPU *passes* over the
+(Bq, BLK) f32 sim tile — each elementwise/reduce op is one VMEM round
+trip at ~9.6e11 lane-ops/s on v5e, and the shipped kernel costs ~11
+passes/tile: ~3 for the 16-part slice/concat scale+mask chain, ~2 for
+the merge's filter+any, and ~1.4 while-iterations x ~4.5 passes.
+
+Variants measured here (all on-device data, no host<->device shipping):
+  dotonly   MXU floor: just the matmul + a rowmax write
+  v0        the shipped kernel (topk_ip_sq8_pallas)
+  hoist     merge hoisted: max+argmax first, insert, THEN a residual
+            while_loop only for the rare 2nd candidate in the same tile
+  bcast     scale+mask applied via a (1, BLK) reshape broadcast instead
+            of the 16-part slice/concat chain (if Mosaic takes the
+            reshape)
+  int8      s8 x s8 -> s32 on the MXU (v5e int8 path): the query is
+            per-row int8-quantized; the per-QUERY scale multiplies a
+            whole sim row uniformly so it never enters the kernel at
+            all (ranking-invariant) and is applied to the (Bq, k)
+            output outside. Replaces the in-kernel int8->bf16 convert
+            of every DB tile. Precision: q at 7 bits + scale is the
+            same ballpark as the shipped bf16-q path.
+  best      hoist + bcast + int8 combined
+
+Each variant's ids are checked against v0 (agreement rate printed).
+Run on the real chip:  python extras/bench_sq8_kernel.py --n 8388608
+"""
+from __future__ import annotations
+
+import argparse
+import functools
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_tpu_cache")
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from nafp_tpu.search.pallas_topk import (NEG, _finish_sort, _merge_tile,
+                                         topk_ip_sq8_pallas)
+
+D = 128
+
+
+# ---------------------------------------------------------------------------
+# merge variants
+# ---------------------------------------------------------------------------
+def _merge_tile_hoisted(sim, base, best_v, best_i):
+    """First candidate handled straight-line (max+argmax+insert); the
+    while_loop only runs for tiles where some query has a SECOND
+    candidate — at 100x scale that's a minority of tiles, and the
+    straight-line part is ~2 sim-passes instead of filter+any+4.5."""
+    bv, bi = best_v[:], best_i[:]
+    w = jnp.min(bv, axis=1, keepdims=True)                    # (Bq, 1)
+
+    m = jnp.max(sim, axis=1, keepdims=True)                   # pass 1
+    am = jnp.argmax(sim, axis=1, keepdims=True)               # pass 2
+    take = m > w
+    pos = (am + base).astype(jnp.int32)
+    wi = jnp.argmin(bv, axis=1, keepdims=True)                # (Bq, k): cheap
+    slot = jax.lax.broadcasted_iota(jnp.int32, bv.shape, 1) == wi
+    bv = jnp.where(slot & take, m, bv)
+    bi = jnp.where(slot & take, pos, bi)
+
+    # residual: does any query have a 2nd candidate above its (new) worst?
+    hit = jax.lax.broadcasted_iota(jnp.int32, sim.shape, 1) == am
+    sim2 = jnp.where(hit & take, NEG, sim)                    # pass 3
+    w2 = jnp.min(bv, axis=1, keepdims=True)
+
+    def residual(args):
+        sim2, bv, bi = args
+        cand = jnp.where(sim2 > jnp.min(bv, axis=1, keepdims=True), sim2,
+                         NEG)
+
+        def has_candidates(carry):
+            cand, _, _ = carry
+            return jnp.any(cand > NEG / 2)
+
+        def insert_one(carry):
+            cand, bv, bi = carry
+            m = jnp.max(cand, axis=1, keepdims=True)
+            am = jnp.argmax(cand, axis=1, keepdims=True)
+            hit = jax.lax.broadcasted_iota(jnp.int32, cand.shape, 1) == am
+            cand_pos = (am + base).astype(jnp.int32)
+            cand = jnp.where(hit, NEG, cand)
+            wv = jnp.min(bv, axis=1, keepdims=True)
+            wi = jnp.argmin(bv, axis=1, keepdims=True)
+            take = m > wv
+            slot = jax.lax.broadcasted_iota(jnp.int32, bv.shape, 1) == wi
+            bv = jnp.where(slot & take, m, bv)
+            bi = jnp.where(slot & take, cand_pos, bi)
+            return (cand, bv, bi)
+
+        _, bv, bi = jax.lax.while_loop(has_candidates, insert_one,
+                                       (cand, bv, bi))
+        return bv, bi
+
+    bv, bi = jax.lax.cond(jnp.any(sim2 > w2), residual,
+                          lambda args: (args[1], args[2]), (sim2, bv, bi))
+    best_v[:] = bv
+    best_i[:] = bi
+
+
+# ---------------------------------------------------------------------------
+# kernel bodies
+# ---------------------------------------------------------------------------
+def _body_common(j, n_blocks, best_v, best_i):
+    @pl.when(j == 0)
+    def _init():
+        best_v[:] = jnp.full_like(best_v, NEG)
+        best_i[:] = jnp.full_like(best_i, -1)
+
+
+def _scale_mask_slices(sim, sc, rm, blk):
+    parts = [sim[:, t * 128:(t + 1) * 128] * sc[t:t + 1, :] + rm[t:t + 1, :]
+             for t in range(blk // 128)]
+    return jnp.concatenate(parts, axis=1) if len(parts) > 1 else parts[0]
+
+
+def _scale_mask_bcast(sim, sc, rm, blk):
+    return sim * sc.reshape(1, blk) + rm.reshape(1, blk)
+
+
+def _kern_dotonly(q_ref, db_ref, sc_ref, rm_ref, out_ref, *, blk, ct):
+    sim = jnp.dot(q_ref[:], db_ref[:].astype(ct).T,
+                  preferred_element_type=jnp.float32)
+    out_ref[:] = jnp.max(sim, axis=1, keepdims=True)
+
+
+def _kern_var(q_ref, db_ref, sc_ref, rm_ref, out_v_ref, out_i_ref,
+              best_v, best_i, *, k, blk, ct, scale_mode, merge_mode,
+              int8_dot):
+    j = pl.program_id(0)
+    n_blocks = pl.num_programs(0)
+    _body_common(j, n_blocks, best_v, best_i)
+    if int8_dot:
+        sim = jnp.dot(q_ref[:], db_ref[:].T,
+                      preferred_element_type=jnp.int32).astype(jnp.float32)
+    else:
+        sim = jnp.dot(q_ref[:], db_ref[:].astype(ct).T,
+                      preferred_element_type=jnp.float32)
+    sc, rm = sc_ref[:], rm_ref[:]
+    if scale_mode == "bcast":
+        sim = _scale_mask_bcast(sim, sc, rm, blk)
+    else:
+        sim = _scale_mask_slices(sim, sc, rm, blk)
+    if merge_mode == "hoist":
+        _merge_tile_hoisted(sim, j * blk, best_v, best_i)
+    else:
+        _merge_tile(sim, j * blk, best_v, best_i)
+
+    @pl.when(j == n_blocks - 1)
+    def _finish():
+        _finish_sort(best_v, best_i, out_v_ref, out_i_ref, k)
+
+
+@functools.partial(jax.jit, static_argnames=("k", "blk", "scale_mode",
+                                             "merge_mode", "int8_dot"))
+def run_variant(q, vecs8, scales, rmask, k=20, blk=2048, scale_mode="slices",
+                merge_mode="v0", int8_dot=False):
+    n, d = vecs8.shape
+    bq = q.shape[0]
+    ct = jnp.bfloat16
+    if int8_dot:
+        qs = jnp.maximum(jnp.abs(q).max(axis=1), 1e-12) / 127.0
+        q_in = jnp.clip(jnp.round(q / qs[:, None]), -127, 127).astype(jnp.int8)
+    else:
+        q_in = q.astype(ct)
+    out_v, out_i = pl.pallas_call(
+        functools.partial(_kern_var, k=k, blk=blk, ct=ct,
+                          scale_mode=scale_mode, merge_mode=merge_mode,
+                          int8_dot=int8_dot),
+        grid=(n // blk,),
+        in_specs=[
+            pl.BlockSpec((bq, d), lambda j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((blk, d), lambda j: (j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((blk // 128, 128), lambda j: (j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((blk // 128, 128), lambda j: (j, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((bq, k), lambda j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bq, k), lambda j: (0, 0), memory_space=pltpu.VMEM),
+        ),
+        out_shape=(jax.ShapeDtypeStruct((bq, k), jnp.float32),
+                   jax.ShapeDtypeStruct((bq, k), jnp.int32)),
+        scratch_shapes=[pltpu.VMEM((bq, k), jnp.float32),
+                        pltpu.VMEM((bq, k), jnp.int32)],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * bq * n * d,
+            bytes_accessed=n * d + bq * d * 4 + 2 * n * 4,
+            transcendentals=0),
+    )(q_in, vecs8, scales.reshape(n // 128, 128),
+      rmask.reshape(n // 128, 128))
+    if int8_dot:
+        out_v = out_v * qs[:, None]
+    return out_v, jnp.where(out_v <= NEG / 2, -1, out_i)
+
+
+@functools.partial(jax.jit, static_argnames=("blk",))
+def run_dotonly(q, vecs8, scales, rmask, blk=2048):
+    n, d = vecs8.shape
+    bq = q.shape[0]
+    out = pl.pallas_call(
+        functools.partial(_kern_dotonly, blk=blk, ct=jnp.bfloat16),
+        grid=(n // blk,),
+        in_specs=[
+            pl.BlockSpec((bq, d), lambda j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((blk, d), lambda j: (j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((blk // 128, 128), lambda j: (j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((blk // 128, 128), lambda j: (j, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((bq, 1), lambda j: (0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((bq, 1), jnp.float32),
+    )(q.astype(jnp.bfloat16), vecs8, scales.reshape(n // 128, 128),
+      rmask.reshape(n // 128, 128))
+    return out
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n", type=int, default=8_388_608)
+    ap.add_argument("--bq", type=int, default=512)
+    ap.add_argument("--k", type=int, default=20)
+    ap.add_argument("--blk", type=int, default=2048)
+    ap.add_argument("--reps", type=int, default=3)
+    args = ap.parse_args()
+    n, bq, k, blk = args.n, args.bq, args.k, args.blk
+    assert n % blk == 0
+
+    key = jax.random.PRNGKey(0)
+    k1, k2, k3, k4 = jax.random.split(key, 4)
+    print(f"[gen] on-device {n:,} x {D} int8 ...", flush=True)
+    vecs8 = jax.random.randint(k1, (n, D), -127, 128,
+                               dtype=jnp.int32).astype(jnp.int8)
+    scales = jax.random.uniform(k2, (n,), jnp.float32, 0.9, 1.1) / 127.0
+    rmask = jnp.zeros(n, jnp.float32)
+    pick = jax.random.randint(k3, (bq,), 0, n)
+    q = (vecs8[pick].astype(jnp.float32) * scales[pick][:, None]
+         + 0.05 * jax.random.normal(k4, (bq, D)))
+    q = q / jnp.linalg.norm(q, axis=1, keepdims=True)
+    q = jax.block_until_ready(q)
+
+    def timed(fn, *a, **kw):
+        out = fn(*a, **kw)                      # warm/compile
+        ref = [np.asarray(x) for x in (out if isinstance(out, tuple)
+                                       else (out,))]
+        ts = []
+        for _ in range(args.reps):
+            t0 = time.perf_counter()
+            out = fn(*a, **kw)
+            np.asarray(out[0] if isinstance(out, tuple) else out)  # host sync
+            ts.append(time.perf_counter() - t0)
+        return min(ts), ref
+
+    results = {}
+    t, _ = timed(run_dotonly, q, vecs8, scales, rmask, blk=blk)
+    print(f"dotonly  {t*1e3:8.1f} ms   (MXU+stream floor)", flush=True)
+    results["dotonly"] = t
+
+    t, ref0 = timed(topk_ip_sq8_pallas, q, vecs8, scales, rmask, k=k, blk=blk)
+    print(f"v0       {t*1e3:8.1f} ms   {bq/t:8.0f} QPS  (shipped kernel)",
+          flush=True)
+    results["v0"] = t
+    ids0 = ref0[1]
+
+    variants = [
+        ("hoist", dict(scale_mode="slices", merge_mode="hoist")),
+        ("bcast", dict(scale_mode="bcast", merge_mode="v0")),
+        ("int8", dict(scale_mode="slices", merge_mode="v0", int8_dot=True)),
+        ("best", dict(scale_mode="bcast", merge_mode="hoist",
+                      int8_dot=True)),
+    ]
+    for name, kw in variants:
+        try:
+            t, ref = timed(run_variant, q, vecs8, scales, rmask, k=k,
+                           blk=blk, **kw)
+        except Exception as e:
+            print(f"{name:8s} FAILED: {type(e).__name__}: "
+                  f"{str(e).splitlines()[0][:120]}", flush=True)
+            continue
+        agree = float(np.mean(ref[1] == ids0))
+        top1 = float(np.mean(ref[1][:, 0] == ids0[:, 0]))
+        print(f"{name:8s} {t*1e3:8.1f} ms   {bq/t:8.0f} QPS  "
+              f"ids-agree {agree:.4f} top1 {top1:.4f}", flush=True)
+        results[name] = t
+
+    print({k: round(v * 1e3, 1) for k, v in results.items()})
+
+
+if __name__ == "__main__":
+    main()

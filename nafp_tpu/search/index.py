@@ -214,7 +214,7 @@ class SQ8FlatIndex:
                block: int = 1024) -> Tuple[np.ndarray, np.ndarray]:
         q = np.asarray(q, np.float32)
         # the (block, BLK) f32 sim tile must fit the kernel's VMEM budget
-        block = min(block, (8 << 20) // (self.BLK * 4))
+        block = min(block, (4 << 20) // (self.BLK * 4))
         interpret = jax.default_backend() != "tpu"
         outs_d, outs_i = [], []
         for s in range(0, len(q), block):
@@ -621,6 +621,10 @@ class IVFPQIndex:
                block: int = 512) -> Tuple[np.ndarray, np.ndarray]:
         q = np.asarray(q, np.float32)
         lt = self.LIST_TILE
+        # the masked kernel holds three (block, BLK) f32 buffers in VMEM
+        # (sim, bias expansion, merge candidates): clamp to its budget
+        if jax.default_backend() == "tpu":
+            block = min(block, (2 << 20) // (self.BLK * 4))
         # chunk rows so the transient decoded bf16 chunk stays ~512 MB
         chunk = min(self.n_pad, (1 << 21))
         chunk -= chunk % self.BLK

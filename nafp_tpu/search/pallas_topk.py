@@ -207,8 +207,11 @@ def topk_ip_pallas(q: jax.Array, db: jax.Array, k: int = 32,
     real TPU (the row-mask block is (blk/128, 128), sublane-tiled by 8).
     """
     n, d = db.shape
-    # VMEM budget: the (Bq, BLK) f32 sim tile is the big resident
-    assert q.shape[0] * blk * 4 <= 8 * 2**20, \
+    # VMEM budget: TWO (Bq, BLK) f32 buffers coexist (the sim tile and the
+    # merge's masked candidate copy carried through the while_loop), plus
+    # double-buffered input blocks — a 1024x2048 tile measured 21.2 MB of
+    # scoped vmem against the 16 MB limit, so cap the tile at 4 MB
+    assert q.shape[0] * blk * 4 <= 4 * 2**20, \
         f"sim tile {q.shape[0]}x{blk} too large for VMEM; block the queries"
     n_pad_to = (-n) % blk
     if n_pad_to:
@@ -272,7 +275,9 @@ def topk_ip_sq8_pallas(q: jax.Array, vecs8: jax.Array, scales: jax.Array,
     n, d = vecs8.shape
     bq = q.shape[0]
     assert n % blk == 0 and blk % 1024 == 0, (n, blk)
-    assert bq * blk * 4 <= 8 * 2**20, \
+    # two (Bq, BLK) f32 buffers coexist (sim + merge candidates): a
+    # 1024x2048 tile OOMed scoped vmem (21.2 MB > 16 MB) on v5e
+    assert bq * blk * 4 <= 4 * 2**20, \
         f"sim tile {bq}x{blk} too large for VMEM; block the queries"
     # bf16 q on the MXU; CPU XLA (interpret-mode tests) can't do
     # bf16×bf16→f32 dots, so interpret computes in f32
@@ -326,7 +331,10 @@ def topk_ip_pallas_masked(q: jax.Array, db: jax.Array, ids: jax.Array,
     """
     n, d = db.shape
     assert n % blk == 0 and blk % list_tile == 0
-    assert q.shape[0] * blk * 4 <= 8 * 2**20, \
+    # THREE (Bq, BLK) f32 buffers coexist here (sim, the bias-expansion
+    # dot result, and the merge candidates): tighter cap than the plain
+    # kernels (see the 21.2 MB vmem OOM note in topk_ip_pallas)
+    assert q.shape[0] * blk * 4 <= 2 * 2**20, \
         f"sim tile {q.shape[0]}x{blk} too large for VMEM; block the queries"
     assert bias.shape == (q.shape[0], n // list_tile), bias.shape
     rmask = jnp.where(ids >= 0, 0.0, NEG).astype(jnp.float32)
