@@ -166,12 +166,13 @@ def _kern_var(q_ref, db_ref, sc_ref, rm_ref, out_v_ref, out_i_ref,
 
 
 @functools.partial(jax.jit, static_argnames=("k", "blk", "scale_mode",
-                                             "merge_mode", "int8_dot"))
+                                             "merge_mode", "int8_dot",
+                                             "interpret"))
 def run_variant(q, vecs8, scales, rmask, k=20, blk=2048, scale_mode="slices",
-                merge_mode="v0", int8_dot=False):
+                merge_mode="v0", int8_dot=False, interpret=False):
     n, d = vecs8.shape
     bq = q.shape[0]
-    ct = jnp.bfloat16
+    ct = jnp.float32 if interpret else jnp.bfloat16
     if int8_dot:
         qs = jnp.maximum(jnp.abs(q).max(axis=1), 1e-12) / 127.0
         q_in = jnp.clip(jnp.round(q / qs[:, None]), -127, 127).astype(jnp.int8)
@@ -202,6 +203,7 @@ def run_variant(q, vecs8, scales, rmask, k=20, blk=2048, scale_mode="slices",
             flops=2 * bq * n * d,
             bytes_accessed=n * d + bq * d * 4 + 2 * n * 4,
             transcendentals=0),
+        interpret=interpret,
     )(q_in, vecs8, scales.reshape(n // 128, 128),
       rmask.reshape(n // 128, 128))
     if int8_dot:
@@ -239,7 +241,12 @@ def main():
     ap.add_argument("--k", type=int, default=20)
     ap.add_argument("--blk", type=int, default=2048)
     ap.add_argument("--reps", type=int, default=3)
+    ap.add_argument("--interpret", action="store_true",
+                    help="CPU interpret-mode correctness check (tiny --n); "
+                         "timings are meaningless")
     args = ap.parse_args()
+    if args.interpret:
+        jax.config.update("jax_platforms", "cpu")
     n, bq, k, blk = args.n, args.bq, args.k, args.blk
     assert n % blk == 0
 
@@ -269,11 +276,13 @@ def main():
         return min(ts), ref
 
     results = {}
-    t, _ = timed(run_dotonly, q, vecs8, scales, rmask, blk=blk)
-    print(f"dotonly  {t*1e3:8.1f} ms   (MXU+stream floor)", flush=True)
-    results["dotonly"] = t
+    if not args.interpret:
+        t, _ = timed(run_dotonly, q, vecs8, scales, rmask, blk=blk)
+        print(f"dotonly  {t*1e3:8.1f} ms   (MXU+stream floor)", flush=True)
+        results["dotonly"] = t
 
-    t, ref0 = timed(topk_ip_sq8_pallas, q, vecs8, scales, rmask, k=k, blk=blk)
+    t, ref0 = timed(topk_ip_sq8_pallas, q, vecs8, scales, rmask, k=k, blk=blk,
+                    interpret=args.interpret)
     print(f"v0       {t*1e3:8.1f} ms   {bq/t:8.0f} QPS  (shipped kernel)",
           flush=True)
     results["v0"] = t
@@ -289,7 +298,7 @@ def main():
     for name, kw in variants:
         try:
             t, ref = timed(run_variant, q, vecs8, scales, rmask, k=k,
-                           blk=blk, **kw)
+                           blk=blk, interpret=args.interpret, **kw)
         except Exception as e:
             print(f"{name:8s} FAILED: {type(e).__name__}: "
                   f"{str(e).splitlines()[0][:120]}", flush=True)
