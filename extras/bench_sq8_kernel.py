@@ -11,9 +11,8 @@ the merge's filter+any, and ~1.4 while-iterations x ~4.5 passes.
 
 Variants measured here (all on-device data, no host<->device shipping):
   dotonly   MXU floor: just the matmul + a rowmax write
-  v0        the shipped kernel (topk_ip_sq8_pallas)
-  hoist     merge hoisted: max+argmax first, insert, THEN a residual
-            while_loop only for the rare 2nd candidate in the same tile
+  v0        the shipped kernel (topk_ip_sq8_pallas; v3 hoisted merge)
+  v2        the round-2 merge (filter-then-while) for regression tracking
   bcast     scale+mask applied via a (1, BLK) reshape broadcast instead
             of the 16-part slice/concat chain (if Mosaic takes the
             reshape)
@@ -24,7 +23,12 @@ Variants measured here (all on-device data, no host<->device shipping):
             output outside. Replaces the in-kernel int8->bf16 convert
             of every DB tile. Precision: q at 7 bits + scale is the
             same ballpark as the shipped bf16-q path.
-  best      hoist + bcast + int8 combined
+
+Measured v5e @ 8.4 M x 128, bq 512, k 20, blk 2048 (r3): dotonly 27.8 ms;
+v2 84.2 ms (6,081 QPS); v3 58.1 ms (8,805 QPS, ids-agree 1.0000) -> v3
+shipped; bcast 86.8 ms (the Mosaic relayout costs more than 16 slices);
+int8-dot 82.0 ms with ids-agree 0.82 (k=20 tail churn; top1 1.0) -> both
+rejected.
 
 Each variant's ids are checked against v0 (agreement rate printed).
 Run on the real chip:  python extras/bench_sq8_kernel.py --n 8388608
@@ -54,60 +58,39 @@ D = 128
 
 
 # ---------------------------------------------------------------------------
-# merge variants
+# merge variants (the repo's _merge_tile IS the hoisted v3 winner now;
+# the v2 filter-then-while form is kept here for regression comparison)
 # ---------------------------------------------------------------------------
-def _merge_tile_hoisted(sim, base, best_v, best_i):
-    """First candidate handled straight-line (max+argmax+insert); the
-    while_loop only runs for tiles where some query has a SECOND
-    candidate — at 100x scale that's a minority of tiles, and the
-    straight-line part is ~2 sim-passes instead of filter+any+4.5."""
+def _merge_tile_v2(sim, base, best_v, best_i):
+    """Round-2 shipped merge: filter the whole tile against the per-row
+    worst (a full (Bq, BLK) candidate copy + any-reduce on EVERY tile),
+    then while_loop (max, argmax, insert, mask) until drained. Replaced
+    by the hoisted v3 _merge_tile (straight-line first insert)."""
     bv, bi = best_v[:], best_i[:]
-    w = jnp.min(bv, axis=1, keepdims=True)                    # (Bq, 1)
+    w = jnp.min(bv, axis=1, keepdims=True)                   # (Bq, 1)
+    cand = jnp.where(sim > w, sim, NEG)
 
-    m = jnp.max(sim, axis=1, keepdims=True)                   # pass 1
-    am = jnp.argmax(sim, axis=1, keepdims=True)               # pass 2
-    take = m > w
-    pos = (am + base).astype(jnp.int32)
-    wi = jnp.argmin(bv, axis=1, keepdims=True)                # (Bq, k): cheap
-    slot = jax.lax.broadcasted_iota(jnp.int32, bv.shape, 1) == wi
-    bv = jnp.where(slot & take, m, bv)
-    bi = jnp.where(slot & take, pos, bi)
+    def has_candidates(carry):
+        cand, _, _ = carry
+        return jnp.any(cand > NEG / 2)
 
-    # residual: does any query have a 2nd candidate above its (new) worst?
-    hit = jax.lax.broadcasted_iota(jnp.int32, sim.shape, 1) == am
-    sim2 = jnp.where(hit & take, NEG, sim)                    # pass 3
-    w2 = jnp.min(bv, axis=1, keepdims=True)
+    def insert_one(carry):
+        cand, bv, bi = carry
+        m = jnp.max(cand, axis=1, keepdims=True)             # (Bq, 1)
+        am = jnp.argmax(cand, axis=1, keepdims=True)
+        hit = jax.lax.broadcasted_iota(jnp.int32, cand.shape, 1) == am
+        cand_pos = (am + base).astype(jnp.int32)
+        cand = jnp.where(hit, NEG, cand)
+        wv = jnp.min(bv, axis=1, keepdims=True)
+        wi = jnp.argmin(bv, axis=1, keepdims=True)
+        take = m > wv
+        slot = jax.lax.broadcasted_iota(jnp.int32, bv.shape, 1) == wi
+        bv = jnp.where(slot & take, m, bv)
+        bi = jnp.where(slot & take, cand_pos, bi)
+        return (cand, bv, bi)
 
-    def residual(args):
-        sim2, bv, bi = args
-        cand = jnp.where(sim2 > jnp.min(bv, axis=1, keepdims=True), sim2,
-                         NEG)
-
-        def has_candidates(carry):
-            cand, _, _ = carry
-            return jnp.any(cand > NEG / 2)
-
-        def insert_one(carry):
-            cand, bv, bi = carry
-            m = jnp.max(cand, axis=1, keepdims=True)
-            am = jnp.argmax(cand, axis=1, keepdims=True)
-            hit = jax.lax.broadcasted_iota(jnp.int32, cand.shape, 1) == am
-            cand_pos = (am + base).astype(jnp.int32)
-            cand = jnp.where(hit, NEG, cand)
-            wv = jnp.min(bv, axis=1, keepdims=True)
-            wi = jnp.argmin(bv, axis=1, keepdims=True)
-            take = m > wv
-            slot = jax.lax.broadcasted_iota(jnp.int32, bv.shape, 1) == wi
-            bv = jnp.where(slot & take, m, bv)
-            bi = jnp.where(slot & take, cand_pos, bi)
-            return (cand, bv, bi)
-
-        _, bv, bi = jax.lax.while_loop(has_candidates, insert_one,
-                                       (cand, bv, bi))
-        return bv, bi
-
-    bv, bi = jax.lax.cond(jnp.any(sim2 > w2), residual,
-                          lambda args: (args[1], args[2]), (sim2, bv, bi))
+    _, bv, bi = jax.lax.while_loop(has_candidates, insert_one,
+                                   (cand, bv, bi))
     best_v[:] = bv
     best_i[:] = bi
 
@@ -155,8 +138,8 @@ def _kern_var(q_ref, db_ref, sc_ref, rm_ref, out_v_ref, out_i_ref,
         sim = _scale_mask_bcast(sim, sc, rm, blk)
     else:
         sim = _scale_mask_slices(sim, sc, rm, blk)
-    if merge_mode == "hoist":
-        _merge_tile_hoisted(sim, j * blk, best_v, best_i)
+    if merge_mode == "v2":
+        _merge_tile_v2(sim, j * blk, best_v, best_i)
     else:
         _merge_tile(sim, j * blk, best_v, best_i)
 
@@ -289,11 +272,9 @@ def main():
     ids0 = ref0[1]
 
     variants = [
-        ("hoist", dict(scale_mode="slices", merge_mode="hoist")),
-        ("bcast", dict(scale_mode="bcast", merge_mode="v0")),
-        ("int8", dict(scale_mode="slices", merge_mode="v0", int8_dot=True)),
-        ("best", dict(scale_mode="bcast", merge_mode="hoist",
-                      int8_dot=True)),
+        ("v2", dict(scale_mode="slices", merge_mode="v2")),
+        ("bcast", dict(scale_mode="bcast", merge_mode="v3")),
+        ("int8", dict(scale_mode="slices", merge_mode="v3", int8_dot=True)),
     ]
     for name, kw in variants:
         try:

@@ -1031,7 +1031,11 @@ def get_index(index_type: str, train_data: np.ndarray,
     if t in ("l2", "ip", "ivf"):
         return FlatIndex(train_data, metric="l2" if t == "l2" else "ip")
     if t in ("ivfpq", "ivfpq-rr"):
-        idx = IVFPQIndex(d=d, nlist=256, m=64, nbits=8, nprobe=nprobe,
+        # m=64 subquantizers is the reference's d=128 setting
+        # (get_index_faiss.py:69-83); for smaller embeddings (EMB_SZ is
+        # configurable here) fall back to 2 dims/subquantizer
+        m = 64 if d % 64 == 0 else max(d // 2, 1)
+        idx = IVFPQIndex(d=d, nlist=256, m=m, nbits=8, nprobe=nprobe,
                          refine=(t == "ivfpq-rr"))
         idx.train(train_data, max_train=max_train)
         return idx

@@ -8,15 +8,17 @@ VMEM, does the (Bq, BLK) matmul on the MXU, and maintains a running
 per-query top-k in a VMEM scratch — the full similarity matrix never
 exists.
 
-Selection strategy (v2): Mosaic has no ``top_k`` primitive, and the v1
+Selection strategy (v3): Mosaic has no ``top_k`` primitive, and the v1
 kernel ran k rounds of (max, argmax, mask) over every tile — ~10·k VPU ops
-per element, which lost to XLA below ~1 M rows. v2 exploits that once the
-running set is warm, almost no tile contributes: each tile is first
-*filtered* against the per-row current worst (2 VPU passes), then a
-``while_loop`` runs (max, argmax, insert, mask) rounds only while any
-filtered candidate remains. Expected insertions over a whole scan are
-k·H(n_tiles) ≈ k·ln(n_tiles) total (random row order), so the per-element
-cost collapses to ~3 VPU ops, leaving the MXU matmul dominant.
+per element, which lost to XLA below ~1 M rows. Once the running set is
+warm almost no tile contributes (expected insertions over a whole scan
+are k·H(n_tiles) ≈ k·ln(n_tiles) total per query), so the merge handles
+the per-row best candidate straight-line (max, argmax, conditional
+insert) and enters a (max, argmax, insert, mask) ``while_loop`` only when
+some row has a second in-tile candidate — see ``_merge_tile``. The v2
+filter-then-while form (2 extra full-tile VPU passes per tile) measured
+84.2 ms vs v3's 58.1 ms @ 8.4 M rows on v5e (bench: extras/
+bench_sq8_kernel.py; MXU+stream floor 27.8 ms).
 
 Masking plumbing (Mosaic block shapes must be (8, 128)-tiled):
   - per-ROW validity rides as an additive f32 mask shaped
@@ -47,34 +49,66 @@ NEG = -1e30
 
 def _merge_tile(sim, base, best_v, best_i):
     """Merge a (Bq, BLK) score tile into the running per-query top-k held
-    in the (Bq, k) VMEM scratch refs. Filter-then-insert: only entries
-    beating the per-row current worst enter the while_loop."""
+    in the (Bq, k) VMEM scratch refs.
+
+    v3 (hoisted first insert): the v2 filter-then-while form cost a full
+    (Bq, BLK) candidate copy + an any-reduce before the loop even started
+    — ~2 extra VPU passes on EVERY tile, while expected insertions per
+    tile are ≈ Bq·k·ln(n_tiles)/n_tiles ≪ Bq (most rows insert 0-1
+    candidates). v3 handles the per-row best candidate straight-line
+    (max, argmax, conditional insert), then enters the while_loop only
+    when some row still has a SECOND in-tile candidate above its new
+    worst. Measured on v5e @ 8.4 M × 128, bq 512, k 20: 84.2 ms (v2) →
+    58.1 ms (v3), ids bit-identical; MXU+stream floor 27.8 ms
+    (extras/bench_sq8_kernel.py)."""
     bv, bi = best_v[:], best_i[:]
     w = jnp.min(bv, axis=1, keepdims=True)                   # (Bq, 1)
-    cand = jnp.where(sim > w, sim, NEG)
 
-    def has_candidates(carry):
-        cand, _, _ = carry
-        return jnp.any(cand > NEG / 2)
+    m = jnp.max(sim, axis=1, keepdims=True)                  # (Bq, 1)
+    am = jnp.argmax(sim, axis=1, keepdims=True)
+    take = m > w
+    pos = (am + base).astype(jnp.int32)
+    wi = jnp.argmin(bv, axis=1, keepdims=True)
+    slot = jax.lax.broadcasted_iota(jnp.int32, bv.shape, 1) == wi
+    bv = jnp.where(slot & take, m, bv)
+    bi = jnp.where(slot & take, pos, bi)
 
-    def insert_one(carry):
-        cand, bv, bi = carry
-        m = jnp.max(cand, axis=1, keepdims=True)             # (Bq, 1)
-        am = jnp.argmax(cand, axis=1, keepdims=True)
-        hit = jax.lax.broadcasted_iota(jnp.int32, cand.shape, 1) == am
-        cand_pos = (am + base).astype(jnp.int32)
-        cand = jnp.where(hit, NEG, cand)
-        # replace the current worst running entry if the candidate beats it
-        wv = jnp.min(bv, axis=1, keepdims=True)
-        wi = jnp.argmin(bv, axis=1, keepdims=True)
-        take = m > wv
-        slot = jax.lax.broadcasted_iota(jnp.int32, bv.shape, 1) == wi
-        bv = jnp.where(slot & take, m, bv)
-        bi = jnp.where(slot & take, cand_pos, bi)
-        return (cand, bv, bi)
+    # residual: any row with a 2nd candidate above its (updated) worst?
+    hit = jax.lax.broadcasted_iota(jnp.int32, sim.shape, 1) == am
+    sim2 = jnp.where(hit & take, NEG, sim)
+    w2 = jnp.min(bv, axis=1, keepdims=True)
 
-    _, bv, bi = jax.lax.while_loop(has_candidates, insert_one,
-                                   (cand, bv, bi))
+    def residual(args):
+        cand, bv, bi = args
+        cand = jnp.where(cand > jnp.min(bv, axis=1, keepdims=True),
+                         cand, NEG)
+
+        def has_candidates(carry):
+            cand, _, _ = carry
+            return jnp.any(cand > NEG / 2)
+
+        def insert_one(carry):
+            cand, bv, bi = carry
+            m = jnp.max(cand, axis=1, keepdims=True)         # (Bq, 1)
+            am = jnp.argmax(cand, axis=1, keepdims=True)
+            hit = jax.lax.broadcasted_iota(jnp.int32, cand.shape, 1) == am
+            cand_pos = (am + base).astype(jnp.int32)
+            cand = jnp.where(hit, NEG, cand)
+            # replace the current worst entry if the candidate beats it
+            wv = jnp.min(bv, axis=1, keepdims=True)
+            wi = jnp.argmin(bv, axis=1, keepdims=True)
+            take = m > wv
+            slot = jax.lax.broadcasted_iota(jnp.int32, bv.shape, 1) == wi
+            bv = jnp.where(slot & take, m, bv)
+            bi = jnp.where(slot & take, cand_pos, bi)
+            return (cand, bv, bi)
+
+        _, bv, bi = jax.lax.while_loop(has_candidates, insert_one,
+                                       (cand, bv, bi))
+        return bv, bi
+
+    bv, bi = jax.lax.cond(jnp.any(sim2 > w2), residual,
+                          lambda args: (args[1], args[2]), (sim2, bv, bi))
     best_v[:] = bv
     best_i[:] = bi
 
