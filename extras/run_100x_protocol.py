@@ -107,11 +107,12 @@ def make_queries(mm, nq: int, seed: int = 7):
     return q, pick
 
 
-def stage_build(root: str, out: dict, index: str = "ivf-sq8"):
+def stage_build(root: str, out: dict, index: str = "ivf-sq8",
+                pq_decode: str = "f32"):
     """Train + add, persisting the quantized store so later stages (or a
     rerun after a timeout) skip the ~hours-long streamed add."""
     if index == "ivfpq":
-        return _build_ivfpq(root, out)
+        return _build_ivfpq(root, out, pq_decode=pq_decode)
     if index == "sq8":
         return _build_sq8(root, out)
     from nafp_tpu.search.index import IVFSQ8Index
@@ -187,7 +188,7 @@ def _build_sq8(root: str, out: dict):
     return idx
 
 
-def _build_ivfpq(root: str, out: dict):
+def _build_ivfpq(root: str, out: dict, pq_decode: str = "f32"):
     """IVF-PQ at protocol scale (VERDICT r2 item 3): reference contract
     nlist=256 / 64x8-bit codes (``get_index_faiss.py:69-74``). The PQ
     scan scores every code chunk with a probe-bias mask, so nlist only
@@ -210,12 +211,13 @@ def _build_ivfpq(root: str, out: dict):
             print(f"[build] loading persisted index {cache}", flush=True)
             t0 = time.perf_counter()
             idx = IVFPQIndex.load(cache)    # chunked uploads
+            idx.decode_int8 = pq_decode == "int8"
             print(f"[build] store resident in "
                   f"{time.perf_counter()-t0:.0f}s", flush=True)
             out.update(index="ivfpq", nlist=idx.nlist, m=idx.m,
                        build_cached=True)
             return idx
-    idx = IVFPQIndex(d=D)
+    idx = IVFPQIndex(d=D, decode_int8=pq_decode == "int8")
     t0 = time.perf_counter()
     # 256 coarse centroids (~256 pts/centroid suffices) and 2-D
     # subquantizer books need nowhere near the 1e7-row default sample —
@@ -370,6 +372,10 @@ def main():
     ap.add_argument("--cpu", action="store_true",
                     help="force the CPU backend (smoke runs; the env var "
                          "alone cannot override the TPU plugin)")
+    ap.add_argument("--pq_decode", choices=("f32", "int8"),
+                    default="f32",
+                    help="ivfpq decode path: bf16 one-hot (f32 books) or "
+                         "the opt-in s8 dot (measured slower at 2M)")
     ap.add_argument("--qblock", type=int, default=None,
                     help="search query-block size (ivfpq amortizes its "
                          "per-pass decode over the block; try 2048)")
@@ -406,7 +412,8 @@ def main():
     idx = None
     if {"build", "qps", "recall"} & stages:
         out_build = {}
-        idx = stage_build(args.root, out_build, index=args.index)
+        idx = stage_build(args.root, out_build, index=args.index,
+                          pq_decode=args.pq_decode)
         out.update(out_build)
 
     results_path = os.path.join(args.root, "results.jsonl")

@@ -120,7 +120,8 @@ def test_ivfpq_pallas_path_matches_xla_fallback(rng):
     through the real index plumbing (decode chunks, bias, ids)."""
     import jax
     import jax.numpy as jnp
-    from nafp_tpu.search.index import _pq_probe_bias, _pq_score_chunk_xla
+    from nafp_tpu.search.index import (_pq_bias_list, _pq_expand_bias,
+                                       _pq_score_chunk_xla)
     from nafp_tpu.search.pallas_topk import topk_ip_pallas_masked
 
     db = _unit(rng, 3000)
@@ -131,7 +132,8 @@ def test_ivfpq_pallas_path_matches_xla_fallback(rng):
     idx.add(db)
 
     qd = jnp.asarray(q)
-    bias = _pq_probe_bias(qd, idx.centroids, idx.sub_list, nprobe=idx.nprobe)
+    bias = _pq_expand_bias(_pq_bias_list(qd, idx.centroids,
+                                         nprobe=idx.nprobe), idx.sub_list)
     dec = idx._decode_chunk(idx.codes, idx.sub_list)
     xv, xi = _pq_score_chunk_xla(qd, dec, idx.ids, bias, k=10,
                                  lt=idx.LIST_TILE)
@@ -142,6 +144,53 @@ def test_ivfpq_pallas_path_matches_xla_fallback(rng):
     np.testing.assert_allclose(np.asarray(pv), np.asarray(xv),
                                rtol=1e-3, atol=1e-4)
     assert (np.asarray(pi)[:, 0] == np.asarray(xi)[:, 0]).all()
+
+
+def test_ivfpq_int8_decode_matches_f32_decode(rng):
+    """The s8×s8→s32 decode path must reproduce the f32 one-hot decode up
+    to codebook quantization (≤ max|book_m|/254 per dim) — the same
+    codeword is selected, only its stored value is quantized."""
+    import jax.numpy as jnp
+    from nafp_tpu.search.index import (_pq_decode_chunk,
+                                       _pq_decode_chunk_i8)
+
+    db = _unit(rng, 2000)
+    idx = IVFPQIndex(d=128, nlist=16, m=64, nbits=8, nprobe=8)
+    idx.train(db, kmeans_iters=4)
+    idx.add(db)
+    ref = np.asarray(_pq_decode_chunk(idx.codes, idx.sub_list,
+                                      idx.codebooks, idx.centroids,
+                                      lt=idx.LIST_TILE), np.float32)
+    bq, bs = idx._quantized_books()
+    got = np.asarray(_pq_decode_chunk_i8(idx.codes, idx.sub_list, bq, bs,
+                                         idx.centroids, lt=idx.LIST_TILE),
+                     np.float32)
+    # elementwise bound: quantization step/2 per dim + bf16 rounding
+    step = np.asarray(bs, np.float32).max()
+    assert np.abs(got - ref).max() <= step / 2 + 0.01
+    live = np.asarray(idx.ids) >= 0
+    num = (got[live] * ref[live]).sum(1)
+    den = (np.linalg.norm(got[live], axis=1)
+           * np.linalg.norm(ref[live], axis=1) + 1e-12)
+    assert (num / den).min() >= 0.999
+
+
+def test_ivfpq_multiblock_search_matches_single_block(rng):
+    """Chunk-major search (one decode shared across ALL query blocks) must
+    return exactly what per-block searches return — the loop inversion is
+    a pure scheduling change."""
+    db = _unit(rng, 3000)
+    q = db[rng.integers(0, 3000, 48)] \
+        + 0.05 * rng.standard_normal((48, 128)).astype(np.float32)
+    for refine in (False, True):
+        idx = IVFPQIndex(d=128, nlist=16, m=64, nbits=8, nprobe=8,
+                         refine=refine)
+        idx.train(db, kmeans_iters=4)
+        idx.add(db)
+        v_multi, i_multi = idx.search(q, 5, block=16)   # 3 query blocks
+        v_one, i_one = idx.search(q, 5)                 # single block
+        np.testing.assert_allclose(v_multi, v_one, rtol=1e-5, atol=1e-6)
+        np.testing.assert_array_equal(i_multi, i_one)
 
 
 def test_ivfsq8_streamed_memmap_add_matches_ram(rng, tmp_path):
