@@ -93,7 +93,9 @@ def generate(checkpoint_name, checkpoint_index, config, source, output,
               help="Config preset name; resolved to config/<NAME>.yaml.")
 @click.option("--index_type", "-i", default="ivfpq", type=click.STRING,
               help="One of {'l2','ip','ivf','ivfpq','ivfpq-rr','ivf-sq8',"
-                   "'ivf-sq8-sharded','l2-sharded','hnsw'}.")
+                   "'sq8','sq8-flat','sq8-sharded','ivf-sq8-sharded',"
+                   "'l2-sharded','hnsw'}. 'sq8' is the exact int8 full "
+                   "scan (the 100x-scale throughput option).")
 @click.option("--test_seq_len", default="1 3 5 9 11 19", type=click.STRING,
               help="Space-separated segment counts to test "
                    "(default '1 3 5 9 11 19' = 1s..10s).")
@@ -102,10 +104,24 @@ def generate(checkpoint_name, checkpoint_index, config, source, output,
 @click.option("--emb_dummy_dir", default=None, type=click.STRING,
               help="Directory containing dummy_db.mm/_shape.npy to use "
                    "instead of EMB_DIR (parity with eval_faiss.py).")
+@click.option("--nprobe", default=40, type=click.INT,
+              help="Probed coarse lists for the IVF index family "
+                   "(reference default 40); ignored by exact indexes.")
+@click.option("--k_probe", default=20, type=click.INT,
+              help="Per-segment top-k candidates fed to the sequence "
+                   "re-ranker (reference default 20).")
+@click.option("--max_train", default=int(1e7), type=click.INT,
+              help="Max vectors subsampled for index training "
+                   "(reference default 1e7).")
+@click.option("--index_cache", default=None, type=click.STRING,
+              help="npz path for the built int8-family store (ivf-sq8/sq8/"
+                   "sharded twins): loaded when present, written after a "
+                   "fresh build — skips the hours-long 100x-scale add.")
 @click.option("--nogpu", default=False, is_flag=True,
               help="Run the search on CPU devices (parity flag).")
 def evaluate(checkpoint_name, checkpoint_index, config, index_type,
-             test_seq_len, test_ids, emb_dummy_dir, nogpu):
+             test_seq_len, test_ids, emb_dummy_dir, nprobe, k_probe,
+             max_train, index_cache, nogpu):
     """Run the ICASSP retrieval protocol over generated fingerprints.
 
     Searches query segments against dummy_db+db and reports top1-exact/
@@ -121,7 +137,9 @@ def evaluate(checkpoint_name, checkpoint_index, config, index_type,
                checkpoint_name + "/" + str(checkpoint_index) + "/")
     eval_fingerprints(emb_dir, emb_dummy_dir=emb_dummy_dir,
                       index_type=index_type, test_ids=test_ids,
-                      test_seq_len=test_seq_len)
+                      test_seq_len=test_seq_len, k_probe=k_probe,
+                      max_train=max_train, nprobe=nprobe,
+                      index_cache=index_cache)
 
 
 if __name__ == "__main__":

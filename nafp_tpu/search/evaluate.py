@@ -188,6 +188,24 @@ def _hits_for_block(index, recon_dev, recon_host, query, ids_block, sl,
     return pred  # (B, 10) ranked candidate start ids
 
 
+def _cacheable_cls(index_type: str, nprobe: int):
+    """(cls, load_kwargs) for index types whose built store can persist to
+    / load from an npz (the int8 family; the quantize+ship is the hours-
+    long part at 100x scale). None for everything else."""
+    from nafp_tpu.search.index import IVFSQ8Index, SQ8FlatIndex
+    if index_type == "ivf-sq8":
+        return IVFSQ8Index, {"nprobe": nprobe}
+    if index_type in ("sq8", "sq8-flat"):
+        return SQ8FlatIndex, {}
+    if index_type == "sq8-sharded":
+        from nafp_tpu.search.sharded import ShardedSQ8FlatIndex
+        return ShardedSQ8FlatIndex, {}
+    if index_type == "ivf-sq8-sharded":
+        from nafp_tpu.search.sharded import ShardedIVFSQ8Index
+        return ShardedIVFSQ8Index, {"nprobe": nprobe}
+    return None, None
+
+
 def eval_fingerprints(emb_dir: str,
                       emb_dummy_dir: Optional[str] = None,
                       index_type: str = "ivfpq",
@@ -195,6 +213,7 @@ def eval_fingerprints(emb_dir: str,
                       test_seq_len: str = "1 3 5 9 11 19",
                       k_probe: int = 20,
                       max_train: int = int(1e7),
+                      nprobe: int = 40,
                       display_interval: int = 10,
                       seed: int = 42,
                       index_cache: Optional[str] = None) -> np.ndarray:
@@ -202,9 +221,13 @@ def eval_fingerprints(emb_dir: str,
     (4, n_seq_len) in percent and writes raw_score.npy / test_ids.npy /
     eval_summary.json.
 
-    ``index_cache``: npz path for the built ivf-sq8 store — loaded when
-    present (skipping the hours-long 100x-scale add), written after a
-    fresh build. Ignored for other index types."""
+    ``nprobe``: probed coarse lists for the IVF family (reference default
+    40, ``get_index_faiss.py:120``); ignored by exact indexes.
+
+    ``index_cache``: npz path for the built int8-family store (ivf-sq8 /
+    sq8 / the sharded twins) — loaded when present (skipping the
+    hours-long 100x-scale add), written after a fresh build. Ignored for
+    other index types."""
     seq_lens = np.asarray(list(map(int, str(test_seq_len).split())))
 
     query, query_shape = load_memmap(emb_dir, "query")
@@ -218,24 +241,25 @@ def eval_fingerprints(emb_dir: str,
 
     t0 = time.time()
     index = None
-    from nafp_tpu.search.index import IVFSQ8Index, SQ8FlatIndex
-    cacheable = {"ivf-sq8": IVFSQ8Index, "sq8": SQ8FlatIndex,
-                 "sq8-flat": SQ8FlatIndex}
-    if index_cache and index_type in cacheable \
+    cache_cls, load_kwargs = _cacheable_cls(index_type, nprobe)
+    if index_cache and cache_cls is not None \
             and os.path.exists(index_cache):
         try:
             if int(np.load(index_cache)["ntotal"]) == len(full_db):
-                index = cacheable[index_type].load(index_cache)
+                index = cache_cls.load(index_cache, **load_kwargs)
                 print(f"loaded persisted {index_type} store {index_cache}")
         except Exception as e:     # partial write from a killed run
             print(f"ignoring unreadable index cache {index_cache}: {e}")
     if index is None:
-        index = get_index(index_type, full_db, max_train=max_train)
+        index = get_index(index_type, full_db, max_train=max_train,
+                          nprobe=nprobe)
         if hasattr(index, "add") and index.ntotal == 0:
-            if index_cache and index_type in cacheable:
+            if index_cache and cache_cls is not None:
                 index.add(full_db, persist_path=index_cache)
             else:
                 index.add(full_db)
+    elif hasattr(index, "nprobe"):
+        index.nprobe = nprobe
     t_build = time.time() - t0
     print(f"index[{index_type}] over {len(full_db):,} items "
           f"({t_build:.2f}s)")
@@ -309,6 +333,7 @@ def eval_fingerprints(emb_dir: str,
     with open(os.path.join(emb_dir, "eval_summary.json"), "w") as f:
         json.dump({"index_type": index_type, "n_db": int(len(full_db)),
                    "n_test": int(n_test), "k_probe": int(k_probe),
+                   "nprobe": (int(getattr(index, "nprobe", 0)) or None),
                    "seq_lens": [int(x) for x in seq_lens],
                    "build_sec": round(t_build, 1),
                    "search_sec": round(elapsed, 1),

@@ -39,9 +39,24 @@ class FlatIndex:
                  dtype=jnp.float32):
         assert metric in ("l2", "ip")
         self.metric = metric
-        self.db = jnp.asarray(np.asarray(db), dtype)
-        self.db_sq = jnp.sum(self.db.astype(jnp.float32) ** 2, axis=1)
+        db_host = np.asarray(db, np.float32)
+        self.db = jnp.asarray(db_host, dtype)
+        # host copy of the row norms: the fused-kernel l2 path converts its
+        # IP scores back to L2^2 with a k-sized host gather (re-fetching the
+        # device (N,) array per search call would ship it through the slow
+        # link every time)
+        self._db_sq_host = np.einsum("nd,nd->n", db_host, db_host)
+        self.db_sq = jnp.asarray(self._db_sq_host)
         self.ntotal = self.db.shape[0]
+        # On unit-norm rows (all fingerprints are L2-normalized) L2 ranking
+        # == IP ranking, so the 'l2' metric can ride the fused Pallas kernel
+        # too — without this, the XLA path's (Bq, N) f32 logits tensor is an
+        # HBM OOM at the reference's standard mini protocol (~5.9 M rows
+        # x 2048-query block = 48 GB).
+        spread = float(self._db_sq_host.max(initial=1.0)
+                       - self._db_sq_host.min(initial=1.0)) \
+            if self.ntotal else 0.0
+        self._unit_norm = spread < 1e-3
 
     # NOTE for every index here: device arrays are passed as jit ARGUMENTS,
     # never accessed via a static `self` — a static self bakes the whole DB
@@ -75,15 +90,43 @@ class FlatIndex:
     # for small warm-up batches, which the remote compiler chokes on at
     # large N.
     PALLAS_MIN_ROWS = 50_000
+    # XLA-path HBM guard: the (block, N) f32 logits tensor of one search
+    # block must stay under this budget (v5e has 16 GB HBM which also holds
+    # the f32 DB itself). The fused kernel never materializes logits, so
+    # this only bounds the fallback (non-TPU backends / non-equal-norm l2).
+    XLA_LOGITS_BUDGET = 1 << 30
+
+    def _xla_block_cap(self, block: int) -> int:
+        """Largest query-block size whose (block, N) f32 logits tensor fits
+        XLA_LOGITS_BUDGET (>= 1 so search always makes progress)."""
+        if self.ntotal == 0:
+            return block
+        return max(1, min(block, self.XLA_LOGITS_BUDGET // (4 * self.ntotal)))
+
+    def _use_fused(self) -> bool:
+        """Route through the fused Pallas kernel: TPU backend, enough rows
+        to beat XLA (see PALLAS_MIN_ROWS note), and an IP-rankable metric —
+        'ip' always; 'l2' when all rows share one norm (then
+        ||q-x||^2 = q^2 + c - 2 q.x is a monotone flip of q.x, and the
+        true L2^2 values are recovered from the kernel's IP scores)."""
+        if jax.default_backend() != "tpu" and not getattr(
+                self, "force_interpret_fused", False):
+            return False
+        if self.ntotal < self.PALLAS_MIN_ROWS and not getattr(
+                self, "force_interpret_fused", False):
+            return False
+        return self.metric == "ip" or self._unit_norm
 
     def search(self, q: np.ndarray, k: int,
                block: int = 2048) -> Tuple[np.ndarray, np.ndarray]:
         q = np.asarray(q, np.float32)
-        use_pallas = (jax.default_backend() == "tpu" and self.metric == "ip"
-                      and self.ntotal >= self.PALLAS_MIN_ROWS)
+        use_pallas = self._use_fused()
         if use_pallas:
             from nafp_tpu.search.pallas_topk import topk_ip_pallas
             block = min(block, 512)  # VMEM sim-tile budget
+            interpret = jax.default_backend() != "tpu"
+        else:
+            block = self._xla_block_cap(block)
         outs_d, outs_i = [], []
         for s in range(0, len(q), block):
             blk = q[s:s + block]
@@ -93,7 +136,16 @@ class FlatIndex:
                 blk = np.pad(blk, ((0, pad), (0, 0)))
             if use_pallas:
                 d, ids = topk_ip_pallas(jnp.asarray(blk),
-                                        self.db.astype(jnp.float32), k=k)
+                                        self.db.astype(jnp.float32), k=k,
+                                        interpret=interpret)
+                if self.metric == "l2":
+                    # IP -> L2^2 on the k-sized result (host gather)
+                    d_np, ids_np = np.asarray(d), np.asarray(ids)
+                    q_sq = np.einsum("nd,nd->n", blk, blk)
+                    d = (q_sq[:, None]
+                         + self._db_sq_host[np.maximum(ids_np, 0)]
+                         - 2.0 * d_np)
+                    ids = ids_np
             else:
                 d, ids = self._search_block(jnp.asarray(blk), k)
             n = len(blk) - pad
@@ -487,6 +539,7 @@ class IVFPQIndex:
                                 iters=kmeans_iters,
                                 key=jax.random.PRNGKey(seed + 1 + mi)))
         self.codebooks = jnp.stack(books)                   # (m, ksub, dsub)
+        self._books_q_cache = None     # retrain invalidates quantized books
         self._trained = True
 
     def _assign_np(self, data: np.ndarray) -> np.ndarray:
@@ -635,25 +688,32 @@ class IVFPQIndex:
 
     def _decode_chunk(self, codes: jax.Array, sub_list: jax.Array):
         """Decode a code chunk to bf16 vectors: one-hot × codebook einsum
-        (MXU) + coarse centroid per subtile. Shared across the query block."""
-        if self.decode_int8 and jax.default_backend() == "tpu":
+        (MXU) + coarse centroid per subtile. Shared across the query block.
+        The int8 path runs on every backend (CPU XLA lowers the s8 einsum
+        too) so an off-TPU smoke run measures the path it claims to."""
+        if self.decode_int8:
             bq, bs = self._quantized_books()
             return _pq_decode_chunk_i8(codes, sub_list, bq, bs,
                                        self.centroids, lt=self.LIST_TILE)
         return _pq_decode_chunk(codes, sub_list, self.codebooks,
                                 self.centroids, lt=self.LIST_TILE)
 
-    def search(self, q: np.ndarray, k: int,
-               block: int = 512) -> Tuple[np.ndarray, np.ndarray]:
+    # default DB-chunk rows per decode pass: the transient decoded bf16
+    # chunk stays ~512 MB (tests shrink it to exercise multi-chunk merging)
+    CHUNK_ROWS = 1 << 21
+
+    def search(self, q: np.ndarray, k: int, block: int = 512,
+               chunk_rows: Optional[int] = None
+               ) -> Tuple[np.ndarray, np.ndarray]:
         q = np.asarray(q, np.float32)
         lt = self.LIST_TILE
         # the masked kernel holds three (block, BLK) f32 buffers in VMEM
         # (sim, bias expansion, merge candidates): clamp to its budget
         if jax.default_backend() == "tpu":
             block = min(block, (2 << 20) // (self.BLK * 4))
-        # chunk rows so the transient decoded bf16 chunk stays ~512 MB
-        chunk = min(self.n_pad, (1 << 21))
+        chunk = min(self.n_pad, chunk_rows or self.CHUNK_ROWS)
         chunk -= chunk % self.BLK
+        chunk = max(chunk, self.BLK)
         use_pallas = jax.default_backend() == "tpu"
         keep = min(4 * k if self.refine else k, self.n_pad)
         # Stage every query block up front (device queries, per-LIST probe

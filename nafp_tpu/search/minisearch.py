@@ -11,6 +11,7 @@ Inputs follow the reference convention: query ``(nQ, nAug, d)``, db
 """
 from __future__ import annotations
 
+import functools
 from typing import Sequence, Tuple
 
 import jax
@@ -45,6 +46,20 @@ def conv_eye(x: jax.Array, scope: int) -> jax.Array:
     return acc
 
 
+@functools.partial(jax.jit, static_argnames=("scope", "sign", "gt_id_offset"))
+def _ranks_for_scope(all_d: jax.Array, scope: int, sign: float,
+                     gt_id_offset: int) -> jax.Array:
+    """Rank of the ground-truth db row per (aug, target), entirely on
+    device: rank = #(scores strictly better than the gt's) — no argsort,
+    no per-target host loop (the reference scans ``np.where(order == gt)``
+    per target, O(nQ·nD) Python work if max_n_samples is raised)."""
+    d = conv_eye(all_d, scope) * sign
+    n_targets = d.shape[1]
+    gt = jnp.arange(n_targets) + gt_id_offset                # (nQ',)
+    d_gt = jnp.take_along_axis(d, gt[None, :, None], axis=2)  # (nAug,nQ',1)
+    return jnp.sum(d < d_gt, axis=2)                          # (nAug, nQ')
+
+
 def mini_search_eval(query: jax.Array,
                      db: jax.Array,
                      scopes: Sequence[int] = (1, 3, 5, 9, 11, 19),
@@ -72,15 +87,8 @@ def mini_search_eval(query: jax.Array,
     mean_rank = np.zeros(n_scopes)
 
     for i, s in enumerate(scopes):
-        d = conv_eye(all_d, int(s)) * sign          # (nAug, nQ', nD')
-        order = jnp.argsort(d, axis=2)
-        order = np.asarray(order)
-        n_targets = order.shape[1]
-        ranks = np.empty((order.shape[0], n_targets), np.int64)
-        for t in range(n_targets):
-            gt = t + gt_id_offset
-            _, r = np.where(order[:, t, :] == gt)
-            ranks[:, t] = r
+        ranks = np.asarray(_ranks_for_scope(all_d, int(s), sign,
+                                            int(gt_id_offset)))
         mean_rank[i] = ranks.mean()
         top1[i] = (ranks < 1).mean()
         top3[i] = (ranks < 3).mean()
