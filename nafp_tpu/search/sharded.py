@@ -112,18 +112,52 @@ class ShardedSQ8FlatIndex:
     def train(self, data, **_) -> None:    # factory-contract no-op
         self._trained = True
 
-    def add(self, data, block: int = 1 << 20) -> None:
+    def add(self, data, block: int = 1 << 20,
+            persist_path: Optional[str] = None) -> None:
         from nafp_tpu.search.index import _quantize_sq8_host
         R = self.mesh.size
         # pad so every shard is a whole number of kernel tiles
         q8, scales, ids = _quantize_sq8_host(data, R * self.BLK, block)
         self.ntotal = len(data)
+        if persist_path:
+            # single-device SQ8FlatIndex npz format: one store built once
+            # loads onto any mesh size (or the single-device index)
+            np.savez(persist_path, ntotal=self.ntotal, vecs8=q8,
+                     scales=scales, ids=ids)
+        self._publish(q8, scales, ids)
+
+    def _publish(self, q8: np.ndarray, scales: np.ndarray,
+                 ids: np.ndarray) -> None:
+        """Shard a quantized store over the mesh, repadding so every shard
+        is a whole number of kernel tiles (stores persisted by a different
+        mesh size — or the single-device index — repad here)."""
+        R = self.mesh.size
+        extra = (-len(q8)) % (R * self.BLK)
+        if extra:
+            d = q8.shape[1]
+            q8 = np.concatenate([q8, np.zeros((extra, d), np.int8)])
+            scales = np.concatenate([scales, np.zeros(extra, np.float32)])
+            ids = np.concatenate([ids, np.full(extra, -1, np.int32)])
         put = lambda a: jax.device_put(jnp.asarray(a),
                                        NamedSharding(self.mesh, P("data")))
         self.vecs8 = put(q8)
         self.scales = put(scales)
         self.ids = put(ids)
         self.rmask = put(np.where(ids >= 0, 0.0, -1e30).astype(np.float32))
+
+    @classmethod
+    def load(cls, path: str, mesh: Optional[Mesh] = None
+             ) -> "ShardedSQ8FlatIndex":
+        """Load a store persisted by any of: this class's ``add``, the
+        single-device ``SQ8FlatIndex.add``, or an IVF-SQ8 store npz (its
+        sorted rows + original ids are exactly what a full scan needs) —
+        the hours-long 100x-scale quantize happens once per corpus, not
+        once per topology."""
+        z = np.load(path)
+        idx = cls(d=int(z["vecs8"].shape[1]), mesh=mesh)
+        idx.ntotal = int(z["ntotal"])
+        idx._publish(z["vecs8"], z["scales"], z["ids"])
+        return idx
 
     def _build(self, k: int):
         from nafp_tpu.search.pallas_topk import topk_ip_sq8_pallas
@@ -189,9 +223,9 @@ class ShardedIVFSQ8Index(IVFSQ8Index):
         self.mesh = mesh or make_data_mesh()
         self._search_jit = {}
 
-    def add(self, data, block: int = 1 << 20) -> None:
+    def add(self, data, block: int = 1 << 20,
+            persist_path: Optional[str] = None) -> None:
         assert self._trained, "train() before add()"
-        R = self.mesh.size
         nlist, d = self.nlist, self.d
         n = len(data)
         # same one-pass quantize + int8-representation assignment as the
@@ -210,22 +244,51 @@ class ShardedIVFSQ8Index(IVFSQ8Index):
                 q8_flat[s:s + block], scales_flat[s:s + block],
                 self.centroids)
         order = np.argsort(assign, kind="stable")
-        sorted_assign = assign[order]
         counts = np.bincount(assign, minlength=nlist)
+        cap_global = int(max(1, counts.max()))
+        scales_all = scales_flat[order].astype(np.float32)
+        q8_all = q8_flat[order]
+        ids_all = order.astype(np.int32)
+        del q8_flat, scales_flat
+
+        if persist_path:
+            # single-device IVFSQ8Index npz format: the store loads onto
+            # any mesh size, the single-device index, or the sq8 flat scan
+            pad = cap_global
+            q8s = np.zeros((n + pad, d), np.int8)
+            q8s[:n] = q8_all
+            sc = np.zeros(n + pad, np.float32)
+            sc[:n] = scales_all
+            idp = np.full(n + pad, -1, np.int32)
+            idp[:n] = ids_all
+            starts_g = np.concatenate([[0], np.cumsum(counts)[:-1]])
+            np.savez(persist_path, nlist=nlist, list_cap=cap_global,
+                     ntotal=n, centroids=np.asarray(self.centroids),
+                     vecs8=q8s, scales=sc,
+                     starts=starts_g.astype(np.int32), ids=idp)
+            del q8s
+        self.ntotal = n
+        self._publish_sharded(q8_all, scales_all, ids_all, counts,
+                              cap_global)
+
+    def _publish_sharded(self, q8_sorted: np.ndarray,
+                         scales_sorted: np.ndarray, ids_sorted: np.ndarray,
+                         counts: np.ndarray, cap_global: int) -> None:
+        """Deal a list-sorted store round-robin over the mesh: within each
+        coarse list, row j goes to device j % R; each device stores its
+        share of every list contiguously."""
+        R = self.mesh.size
+        nlist, d = self.nlist, self.d
+        n = len(q8_sorted)
         starts_g = np.concatenate([[0], np.cumsum(counts)[:-1]])
+        sorted_assign = np.repeat(np.arange(nlist), counts)
         pos_in_list = np.arange(n) - starts_g[sorted_assign]
         dev_of_row = (pos_in_list % R).astype(np.int32)
-
-        cap_global = int(max(1, counts.max()))
         self.list_cap = (cap_global + R - 1) // R  # per-device slice length
 
         # rows of list l on device r: count = |{x in [0,counts[l]) : x%R==r}|
         local_counts = np.stack(
             [np.maximum(counts - r + R - 1, 0) // R for r in range(R)])
-
-        scales_all = scales_flat[order]
-        q8_all = q8_flat[order]
-        del q8_flat, scales_flat
 
         l_max = int(local_counts.sum(axis=1).max()) + self.list_cap
         vecs8 = np.zeros((R, l_max, d), np.int8)
@@ -235,9 +298,9 @@ class ShardedIVFSQ8Index(IVFSQ8Index):
         for r in range(R):
             sel = dev_of_row == r          # already in (list, pos) order
             nr = int(sel.sum())
-            vecs8[r, :nr] = q8_all[sel]
-            scales[r, :nr] = scales_all[sel].astype(np.float32)
-            ids[r, :nr] = order[sel].astype(np.int32)
+            vecs8[r, :nr] = q8_sorted[sel]
+            scales[r, :nr] = scales_sorted[sel]
+            ids[r, :nr] = ids_sorted[sel]
             starts[r] = np.concatenate(
                 [[0], np.cumsum(local_counts[r])[:-1]]).astype(np.int32)
 
@@ -249,7 +312,28 @@ class ShardedIVFSQ8Index(IVFSQ8Index):
         self.starts = put(starts)
         self.centroids = jax.device_put(self.centroids,
                                         NamedSharding(self.mesh, P()))
-        self.ntotal = len(data)
+
+    @classmethod
+    def load(cls, path: str, nprobe: int = 40,
+             mesh: Optional[Mesh] = None) -> "ShardedIVFSQ8Index":
+        """Load a store persisted by this class's ``add`` or the
+        single-device ``IVFSQ8Index.add`` — the round-robin shard layout
+        is reconstructed from the list-sorted rows, so one store serves
+        every mesh size."""
+        z = np.load(path)
+        idx = cls(d=int(z["centroids"].shape[1]), nlist=int(z["nlist"]),
+                  nprobe=nprobe, mesh=mesh)
+        idx.centroids = jnp.asarray(z["centroids"])
+        idx._trained = True
+        n = int(z["ntotal"])
+        starts = np.asarray(z["starts"], np.int64)
+        counts = np.diff(np.append(starts, n))
+        idx.ntotal = n
+        idx._publish_sharded(z["vecs8"][:n], np.asarray(z["scales"][:n],
+                                                        np.float32),
+                             np.asarray(z["ids"][:n], np.int32), counts,
+                             int(z["list_cap"]))
+        return idx
 
     def _build(self, k: int):
         nprobe, cap, d = self.nprobe, self.list_cap, self.d

@@ -110,3 +110,100 @@ def test_sharded_sq8flat_matches_single_device(rng):
     np.testing.assert_array_equal(mi, si)
     np.testing.assert_allclose(mv, sv, rtol=1e-6)
     assert (mi >= 0).all() and (mi < 5003).all()
+
+def test_sharded_sq8flat_persist_load_roundtrip(rng, tmp_path):
+    """A store persisted by the sharded add must load onto the mesh AND
+    into the single-device index (shared npz format), with identical
+    search results all around — one quantize pass serves every topology."""
+    from nafp_tpu.search.index import SQ8FlatIndex
+    from nafp_tpu.search.sharded import ShardedSQ8FlatIndex
+    db = rng.standard_normal((4100, 128)).astype(np.float32)
+    db /= np.linalg.norm(db, axis=1, keepdims=True)
+    q = db[rng.integers(0, len(db), 12)] + \
+        0.02 * rng.standard_normal((12, 128)).astype(np.float32)
+    path = str(tmp_path / "sq8_store.npz")
+
+    built = ShardedSQ8FlatIndex()
+    built.add(db, persist_path=path)
+    bv, bi = built.search(q, k=5)
+
+    loaded = ShardedSQ8FlatIndex.load(path)
+    lv, li = loaded.search(q, k=5)
+    assert loaded.ntotal == built.ntotal
+    np.testing.assert_array_equal(li, bi)
+    np.testing.assert_allclose(lv, bv, rtol=1e-6)
+
+    single = SQ8FlatIndex.load(path)   # cross-topology: same npz
+    sv, si = single.search(q, k=5)
+    np.testing.assert_array_equal(si, bi)
+
+
+def test_sharded_sq8flat_loads_single_device_store(rng, tmp_path):
+    """The reverse direction: a store persisted by the single-device
+    SQ8FlatIndex.add loads onto the mesh (repadded to R*BLK)."""
+    from nafp_tpu.search.index import SQ8FlatIndex
+    from nafp_tpu.search.sharded import ShardedSQ8FlatIndex
+    db = rng.standard_normal((3000, 128)).astype(np.float32)
+    db /= np.linalg.norm(db, axis=1, keepdims=True)
+    q = db[rng.integers(0, len(db), 8)] + \
+        0.02 * rng.standard_normal((8, 128)).astype(np.float32)
+    path = str(tmp_path / "sq8_single.npz")
+    single = SQ8FlatIndex()
+    single.add(db, persist_path=path)
+    sv, si = single.search(q, k=5)
+    sharded = ShardedSQ8FlatIndex.load(path)
+    mv, mi = sharded.search(q, k=5)
+    assert sharded.ntotal == 3000
+    np.testing.assert_array_equal(mi, si)
+
+
+def test_sharded_ivfsq8_persist_load_roundtrip(rng, tmp_path):
+    """Sharded IVF-SQ8 persists in the single-device npz format; loading
+    reconstructs the round-robin shard layout exactly (same ids/scores),
+    and the single-device index loads the same file."""
+    from nafp_tpu.search.index import IVFSQ8Index
+    from nafp_tpu.search.sharded import ShardedIVFSQ8Index
+    db = rng.standard_normal((6001, 64)).astype(np.float32)
+    db /= np.linalg.norm(db, axis=1, keepdims=True)
+    q = db[rng.integers(0, len(db), 24)] + \
+        0.02 * rng.standard_normal((24, 64)).astype(np.float32)
+    path = str(tmp_path / "ivfsq8_store.npz")
+
+    built = ShardedIVFSQ8Index(d=64, nlist=16, nprobe=16)
+    built.train(db)
+    built.add(db, persist_path=path)
+    bv, bi = built.search(q, k=10)
+
+    loaded = ShardedIVFSQ8Index.load(path, nprobe=16)
+    lv, li = loaded.search(q, k=10)
+    assert loaded.ntotal == built.ntotal
+    assert loaded.list_cap == built.list_cap
+    np.testing.assert_array_equal(li, bi)
+    np.testing.assert_allclose(lv, bv, rtol=1e-6)
+
+    single = IVFSQ8Index.load(path, nprobe=16)   # cross-topology
+    dv, di = single.search(q, k=10)
+    assert (di[:, 0] == bi[:, 0]).all()
+
+
+def test_sharded_ivfsq8_loads_single_device_store(rng, tmp_path):
+    """A store built+persisted by the single-device IVFSQ8Index loads onto
+    the mesh: the dealt layout scans the same rows per probe, so top-1
+    must agree."""
+    from nafp_tpu.search.index import IVFSQ8Index
+    from nafp_tpu.search.sharded import ShardedIVFSQ8Index
+    db = rng.standard_normal((5000, 64)).astype(np.float32)
+    db /= np.linalg.norm(db, axis=1, keepdims=True)
+    q = db[rng.integers(0, len(db), 24)] + \
+        0.02 * rng.standard_normal((24, 64)).astype(np.float32)
+    path = str(tmp_path / "ivfsq8_single.npz")
+    single = IVFSQ8Index(d=64, nlist=16, nprobe=16)
+    single.train(db)
+    single.add(db, persist_path=path)
+    dv, di = single.search(q, k=10)
+    sharded = ShardedIVFSQ8Index.load(path, nprobe=16)
+    sv, si = sharded.search(q, k=10)
+    assert sharded.ntotal == 5000
+    assert (si[:, 0] == di[:, 0]).all()
+    np.testing.assert_allclose(np.sort(sv, axis=1), np.sort(dv, axis=1),
+                               rtol=1e-5, atol=1e-6)
