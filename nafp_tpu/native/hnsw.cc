@@ -13,20 +13,30 @@
 //
 // C ABI:
 //   hnsw_create(d, M, ef_construction, seed) -> handle
-//   hnsw_add(handle, data, n)                   (bulk insert)
+//   hnsw_add(handle, data, n)                   (bulk insert, serial)
+//   hnsw_add_parallel(handle, data, n, n_threads)  (bulk insert, threaded)
 //   hnsw_search(handle, queries, nq, k, ef_search, out_ids, out_scores)
+//   hnsw_save(handle, path) -> 0/err; hnsw_load(path) -> handle|NULL
 //   hnsw_size(handle) -> n
 //   hnsw_free(handle)
 
 #include <algorithm>
+#include <atomic>
 #include <cmath>
 #include <cstdint>
+#include <cstdio>
 #include <cstring>
+#include <mutex>
 #include <queue>
 #include <random>
+#include <thread>
 #include <vector>
 
 namespace {
+
+// striped per-node locks for the threaded bulk add (std::mutex is neither
+// movable nor resizable in a vector; a fixed stripe pool sidesteps that)
+constexpr int kLockStripes = 4096;
 
 struct Hnsw {
   int d;
@@ -34,6 +44,7 @@ struct Hnsw {
   int ef_c;         // efConstruction
   double level_mult;
   std::mt19937_64 rng;
+  uint64_t seed = 0;
 
   std::vector<float> data;                       // n * d
   std::vector<int> levels;                       // per node
@@ -41,6 +52,9 @@ struct Hnsw {
   std::vector<std::vector<std::vector<int>>> links;
   int entry = -1;
   int max_level = -1;
+
+  std::mutex stripes[kLockStripes];              // node -> stripes[id % k]
+  std::mutex global_mu;                          // entry / max_level
 
   int n() const { return static_cast<int>(levels.size()); }
 
@@ -57,8 +71,12 @@ struct Hnsw {
 using PQ = std::priority_queue<std::pair<float, int>>;  // max-heap on dist
 
 // Greedy beam search at one layer. Returns up to ef closest (dist, id),
-// as a max-heap so the worst is on top.
-PQ search_layer(const Hnsw& h, const float* q, int enter, int ef, int layer,
+// as a max-heap so the worst is on top. With locked=true every neighbor
+// list is copied under its node's stripe lock (the threaded bulk add
+// mutates lists concurrently; searches against a quiescent graph skip the
+// locks entirely).
+template <bool locked>
+PQ search_layer(Hnsw& h, const float* q, int enter, int ef, int layer,
                 std::vector<uint8_t>& visited, std::vector<int>& touched) {
   PQ best;                                             // worst on top
   std::priority_queue<std::pair<float, int>,
@@ -69,12 +87,19 @@ PQ search_layer(const Hnsw& h, const float* q, int enter, int ef, int layer,
   cand.emplace(d0, enter);
   visited[enter] = 1;
   touched.push_back(enter);
+  std::vector<int> nbs_copy;
 
   while (!cand.empty()) {
     auto [dc, c] = cand.top();
     if (dc > best.top().first && static_cast<int>(best.size()) >= ef) break;
     cand.pop();
-    for (int nb : h.links[layer][c]) {
+    const std::vector<int>* nbs = &h.links[layer][c];
+    if (locked) {
+      std::lock_guard<std::mutex> g(h.stripes[c % kLockStripes]);
+      nbs_copy = h.links[layer][c];
+      nbs = &nbs_copy;
+    }
+    for (int nb : *nbs) {
       if (visited[nb]) continue;
       visited[nb] = 1;
       touched.push_back(nb);
@@ -149,28 +174,57 @@ std::vector<int> select_neighbors_heuristic(const Hnsw& h, const float* q,
   return out;
 }
 
+// splitmix64: deterministic per-id level hash, so a node's level does not
+// depend on insert order or thread interleaving (serial and threaded bulk
+// adds sample the same level structure).
+uint64_t mix64(uint64_t x) {
+  x += 0x9e3779b97f4a7c15ULL;
+  x = (x ^ (x >> 30)) * 0xbf58476d1ce4e5b9ULL;
+  x = (x ^ (x >> 27)) * 0x94d049bb133111ebULL;
+  return x ^ (x >> 31);
+}
+
+int sample_level(const Hnsw& h, int id) {
+  double u = (mix64(h.seed ^ static_cast<uint64_t>(id + 1)) >> 11) *
+             (1.0 / 9007199254740992.0);                 // [0, 1)
+  return static_cast<int>(-std::log(std::max(1.0 - u, 1e-12)) *
+                          h.level_mult);
+}
+
+template <bool locked>
 void insert(Hnsw& h, int id, std::vector<uint8_t>& visited,
             std::vector<int>& touched) {
-  std::uniform_real_distribution<double> u(0.0, 1.0);
-  int level = static_cast<int>(-std::log(std::max(u(h.rng), 1e-12)) *
-                               h.level_mult);
+  int level = sample_level(h, id);
   h.levels[id] = level;
-  for (int l = 0; l <= level; ++l) h.links[l][id] = {};
 
   const float* q = h.data.data() + static_cast<int64_t>(id) * h.d;
-  if (h.entry < 0) {
-    h.entry = id;
-    h.max_level = level;
-    return;
+  int entry, max_level;
+  {
+    std::unique_lock<std::mutex> g(h.global_mu, std::defer_lock);
+    if (locked) g.lock();
+    if (h.entry < 0) {
+      h.entry = id;
+      h.max_level = level;
+      return;
+    }
+    entry = h.entry;
+    max_level = h.max_level;
   }
 
-  int cur = h.entry;
+  int cur = entry;
+  std::vector<int> nbs_copy;
   // greedy descend through layers above `level`
-  for (int l = h.max_level; l > level; --l) {
+  for (int l = max_level; l > level; --l) {
     bool moved = true;
     while (moved) {
       moved = false;
-      for (int nb : h.links[l][cur]) {
+      const std::vector<int>* nbs = &h.links[l][cur];
+      if (locked) {
+        std::lock_guard<std::mutex> g(h.stripes[cur % kLockStripes]);
+        nbs_copy = h.links[l][cur];
+        nbs = &nbs_copy;
+      }
+      for (int nb : *nbs) {
         if (h.dist(q, nb) < h.dist(q, cur)) {
           cur = nb;
           moved = true;
@@ -179,16 +233,25 @@ void insert(Hnsw& h, int id, std::vector<uint8_t>& visited,
     }
   }
   // insert with beam search from min(level, max_level) down to 0
-  for (int l = std::min(level, h.max_level); l >= 0; --l) {
+  for (int l = std::min(level, max_level); l >= 0; --l) {
     for (int t : touched) visited[t] = 0;
     touched.clear();
-    PQ best = search_layer(h, q, cur, h.ef_c, l, visited, touched);
+    PQ best = search_layer<locked>(h, q, cur, h.ef_c, l, visited, touched);
     int m = (l == 0) ? 2 * h.M : h.M;
     auto nbs = select_neighbors_heuristic(h, q, std::move(best), m,
                                           /*keep_pruned=*/true);
-    h.links[l][id] = nbs;
+    {
+      // publish our own list BEFORE back-links make id reachable
+      std::unique_lock<std::mutex> g(h.stripes[id % kLockStripes],
+                                     std::defer_lock);
+      if (locked) g.lock();
+      h.links[l][id] = nbs;
+    }
     if (!nbs.empty()) cur = nbs[0];
     for (int nb : nbs) {
+      std::unique_lock<std::mutex> g(h.stripes[nb % kLockStripes],
+                                     std::defer_lock);
+      if (locked) g.lock();
       auto& back = h.links[l][nb];
       back.push_back(id);
       // Amortized shrink: let lists overshoot to 1.5*m before pruning back
@@ -208,9 +271,13 @@ void insert(Hnsw& h, int id, std::vector<uint8_t>& visited,
       }
     }
   }
-  if (level > h.max_level) {
-    h.max_level = level;
-    h.entry = id;
+  {
+    std::unique_lock<std::mutex> g(h.global_mu, std::defer_lock);
+    if (locked) g.lock();
+    if (level > h.max_level) {
+      h.max_level = level;
+      h.entry = id;
+    }
   }
 }
 
@@ -224,31 +291,154 @@ void* hnsw_create(int d, int M, int ef_construction, uint64_t seed) {
   h->M = M;
   h->ef_c = ef_construction;
   h->level_mult = 1.0 / std::log(std::max(2, M));
+  h->seed = seed;
   h->rng.seed(seed);
   h->links.resize(64);  // max levels; geometric makes >40 impossible
   return h;
 }
 
+void grow(Hnsw& h, const float* data, int n) {
+  int start = h.n();
+  int total = start + n;
+  h.data.resize(static_cast<int64_t>(total) * h.d);
+  memcpy(h.data.data() + static_cast<int64_t>(start) * h.d, data,
+         sizeof(float) * static_cast<int64_t>(n) * h.d);
+  h.levels.resize(total, 0);
+  for (auto& layer : h.links) layer.resize(total);
+}
+
 void hnsw_add(void* handle, const float* data, int n) {
   auto* h = static_cast<Hnsw*>(handle);
   int start = h->n();
-  int total = start + n;
-  h->data.resize(static_cast<int64_t>(total) * h->d);
-  memcpy(h->data.data() + static_cast<int64_t>(start) * h->d, data,
-         sizeof(float) * static_cast<int64_t>(n) * h->d);
-  h->levels.resize(total, 0);
-  for (auto& layer : h->links) layer.resize(total);
+  grow(*h, data, n);
+  int total = h->n();
   std::vector<uint8_t> visited(total, 0);
   std::vector<int> touched;
   touched.reserve(4096);
   for (int id = start; id < total; ++id) {
     for (int t : touched) visited[t] = 0;
     touched.clear();
-    insert(*h, id, visited, touched);
+    insert<false>(*h, id, visited, touched);
   }
 }
 
+// Threaded bulk insert (the faiss/hnswlib pattern): per-node striped locks
+// guard every link-list read/write; entry/max_level under a global mutex;
+// levels are a pure per-id hash so the level structure is independent of
+// thread interleaving. The first node goes in serially so every thread has
+// an entry point. NOTE: this host has one core (the serial path is the
+// measured one); the threaded path exists for multi-core deployments and
+// is raced-checked under ThreadSanitizer in tests/test_hnsw.py.
+void hnsw_add_parallel(void* handle, const float* data, int n,
+                       int n_threads) {
+  auto* h = static_cast<Hnsw*>(handle);
+  int start = h->n();
+  grow(*h, data, n);
+  int total = h->n();
+  if (n_threads <= 0)
+    n_threads = static_cast<int>(std::thread::hardware_concurrency());
+  n_threads = std::max(1, std::min(n_threads, n));
+
+  int first = start;
+  if (h->entry < 0 && n > 0) {   // seed the graph before threads start
+    std::vector<uint8_t> visited(total, 0);
+    std::vector<int> touched;
+    insert<false>(*h, start, visited, touched);
+    first = start + 1;
+  }
+  std::atomic<int> next(first);
+  auto worker = [&]() {
+    std::vector<uint8_t> visited(total, 0);
+    std::vector<int> touched;
+    touched.reserve(4096);
+    for (;;) {
+      int id = next.fetch_add(1);
+      if (id >= total) break;
+      for (int t : touched) visited[t] = 0;
+      touched.clear();
+      insert<true>(*h, id, visited, touched);
+    }
+  };
+  std::vector<std::thread> pool;
+  for (int t = 0; t < n_threads; ++t) pool.emplace_back(worker);
+  for (auto& t : pool) t.join();
+}
+
 int hnsw_size(void* handle) { return static_cast<Hnsw*>(handle)->n(); }
+
+int hnsw_dim(void* handle) { return static_cast<Hnsw*>(handle)->d; }
+
+// ---- persistence ----------------------------------------------------------
+// Binary layout: magic, version, {d, M, ef_c, entry, max_level}, seed, n,
+// levels[n], data[n*d], then per layer 0..max_level per node: count + ids.
+// (faiss's IndexHNSWFlat has write_index/read_index; the reference never
+// persisted its index — every eval retrained, eval_faiss.py:141-151.)
+constexpr uint64_t kMagic = 0x4e41465048534e57ULL;  // "NAFPHSNW"
+
+int hnsw_save(void* handle, const char* path) {
+  auto* h = static_cast<Hnsw*>(handle);
+  FILE* f = fopen(path, "wb");
+  if (!f) return -1;
+  auto w = [&](const void* p, size_t sz) {
+    return fwrite(p, 1, sz, f) == sz;
+  };
+  uint32_t version = 1;
+  int64_t n = h->n();
+  int32_t hdr[5] = {h->d, h->M, h->ef_c, h->entry, h->max_level};
+  bool ok = w(&kMagic, 8) && w(&version, 4) && w(hdr, sizeof hdr) &&
+            w(&h->seed, 8) && w(&n, 8) &&
+            w(h->levels.data(), n * sizeof(int)) &&
+            w(h->data.data(), n * h->d * sizeof(float));
+  for (int l = 0; ok && l <= std::max(h->max_level, 0); ++l) {
+    for (int64_t i = 0; ok && i < n; ++i) {
+      const auto& nbs = h->links[l][i];
+      int32_t cnt = static_cast<int32_t>(nbs.size());
+      ok = w(&cnt, 4) && (cnt == 0 || w(nbs.data(), cnt * sizeof(int)));
+    }
+  }
+  if (fclose(f) != 0) ok = false;
+  return ok ? 0 : -2;
+}
+
+void* hnsw_load(const char* path) {
+  FILE* f = fopen(path, "rb");
+  if (!f) return nullptr;
+  auto r = [&](void* p, size_t sz) { return fread(p, 1, sz, f) == sz; };
+  uint64_t magic;
+  uint32_t version;
+  int32_t hdr[5];
+  uint64_t seed;
+  int64_t n;
+  if (!(r(&magic, 8) && magic == kMagic && r(&version, 4) && version == 1 &&
+        r(hdr, sizeof hdr) && r(&seed, 8) && r(&n, 8))) {
+    fclose(f);
+    return nullptr;
+  }
+  auto* h = static_cast<Hnsw*>(hnsw_create(hdr[0], hdr[1], hdr[2], seed));
+  h->entry = hdr[3];
+  h->max_level = hdr[4];
+  h->levels.resize(n);
+  h->data.resize(n * h->d);
+  for (auto& layer : h->links) layer.resize(n);
+  bool ok = r(h->levels.data(), n * sizeof(int)) &&
+            r(h->data.data(), n * h->d * sizeof(float));
+  for (int l = 0; ok && l <= std::max(h->max_level, 0); ++l) {
+    for (int64_t i = 0; ok && i < n; ++i) {
+      int32_t cnt = 0;
+      ok = r(&cnt, 4) && cnt >= 0 && cnt <= n;
+      if (ok && cnt) {
+        h->links[l][i].resize(cnt);
+        ok = r(h->links[l][i].data(), cnt * sizeof(int));
+      }
+    }
+  }
+  fclose(f);
+  if (!ok) {
+    delete h;
+    return nullptr;
+  }
+  return h;
+}
 
 void hnsw_search(void* handle, const float* queries, int nq, int k,
                  int ef_search, int64_t* out_ids, float* out_scores) {
@@ -280,8 +470,8 @@ void hnsw_search(void* handle, const float* queries, int nq, int k,
     }
     for (int t : touched) visited[t] = 0;
     touched.clear();
-    PQ best = search_layer(*h, q, cur, std::max(ef_search, k), 0, visited,
-                           touched);
+    PQ best = search_layer<false>(*h, q, cur, std::max(ef_search, k), 0,
+                                  visited, touched);
     auto nbs = select_neighbors(std::move(best), k);
     for (int i = 0; i < k; ++i) {
       if (i < static_cast<int>(nbs.size())) {
@@ -299,3 +489,30 @@ void hnsw_search(void* handle, const float* queries, int nq, int k,
 void hnsw_free(void* handle) { delete static_cast<Hnsw*>(handle); }
 
 }  // extern "C"
+
+// Race-check harness: compiled into a standalone binary by the test suite
+// with -fsanitize=thread (TSan cannot instrument a .so loaded into an
+// uninstrumented Python). Builds a small index with the threaded bulk add
+// and runs a few searches; any data race aborts with a TSan report.
+#ifdef HNSW_TSAN_MAIN
+#include <cstdlib>
+int main() {
+  const int n = 3000, d = 32, nq = 16, k = 5;
+  std::vector<float> data(static_cast<size_t>(n) * d);
+  std::mt19937 rng(7);
+  std::normal_distribution<float> g;
+  for (auto& x : data) x = g(rng);
+  void* h = hnsw_create(d, 8, 40, 0);
+  hnsw_add_parallel(h, data.data(), n, 4);
+  if (hnsw_size(h) != n) return 2;
+  std::vector<int64_t> ids(nq * k);
+  std::vector<float> scores(nq * k);
+  hnsw_search(h, data.data(), nq, k, 64, ids.data(), scores.data());
+  int hits = 0;
+  for (int i = 0; i < nq; ++i)
+    for (int j = 0; j < k; ++j) hits += ids[i * k + j] == i;
+  hnsw_free(h);
+  // every query IS a db row: the graph must find most of them exactly
+  return hits >= nq * 9 / 10 ? 0 : 3;
+}
+#endif

@@ -25,7 +25,7 @@ def _build() -> None:
     # 108.6 -> 17.6 ns per 128-d dot on this host. -march=native is safe:
     # a binary moved to another host fails to load and is rebuilt (below).
     subprocess.run(["g++", "-O3", "-march=native", "-ffast-math", "-shared",
-                    "-fPIC", "-std=c++17", _SRC, "-o", _SO],
+                    "-fPIC", "-std=c++17", "-pthread", _SRC, "-o", _SO],
                    check=True, capture_output=True, timeout=180)
 
 
@@ -48,11 +48,20 @@ def _load() -> ctypes.CDLL:
                              ctypes.POINTER(ctypes.c_float), ctypes.c_int]
     lib.hnsw_size.restype = ctypes.c_int
     lib.hnsw_size.argtypes = [ctypes.c_void_p]
+    lib.hnsw_dim.restype = ctypes.c_int
+    lib.hnsw_dim.argtypes = [ctypes.c_void_p]
     lib.hnsw_search.argtypes = [ctypes.c_void_p,
                                 ctypes.POINTER(ctypes.c_float),
                                 ctypes.c_int, ctypes.c_int, ctypes.c_int,
                                 ctypes.POINTER(ctypes.c_int64),
                                 ctypes.POINTER(ctypes.c_float)]
+    lib.hnsw_add_parallel.argtypes = [ctypes.c_void_p,
+                                      ctypes.POINTER(ctypes.c_float),
+                                      ctypes.c_int, ctypes.c_int]
+    lib.hnsw_save.restype = ctypes.c_int
+    lib.hnsw_save.argtypes = [ctypes.c_void_p, ctypes.c_char_p]
+    lib.hnsw_load.restype = ctypes.c_void_p
+    lib.hnsw_load.argtypes = [ctypes.c_char_p]
     lib.hnsw_free.argtypes = [ctypes.c_void_p]
     _lib = lib
     return lib
@@ -70,12 +79,40 @@ class HNSWIndex:
     def ntotal(self) -> int:
         return self._lib.hnsw_size(self._h)
 
-    def add(self, data: np.ndarray) -> None:
+    def add(self, data: np.ndarray, threads: int = 1) -> None:
+        """Bulk insert. ``threads > 1`` (or 0 = hardware concurrency) uses
+        the lock-striped parallel builder — faiss parallelizes its HNSW add
+        the same way. This host has one core, so the serial path is the
+        measured default; the threaded path is TSan-verified in tests."""
         data = np.ascontiguousarray(data, np.float32)
         assert data.shape[1] == self.d
-        self._lib.hnsw_add(
-            self._h, data.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
-            len(data))
+        ptr = data.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
+        if threads == 1:
+            self._lib.hnsw_add(self._h, ptr, len(data))
+        else:
+            self._lib.hnsw_add_parallel(self._h, ptr, len(data), threads)
+
+    def save(self, path: str) -> None:
+        """Persist the graph + vectors (binary, versioned). The reference
+        never persisted its faiss index — every eval retrained
+        (eval_faiss.py:141-151); here a 500k-row build (~minutes) is paid
+        once per corpus."""
+        rc = self._lib.hnsw_save(self._h, path.encode())
+        if rc != 0:
+            raise IOError(f"hnsw_save({path}) failed with rc={rc}")
+
+    @classmethod
+    def load(cls, path: str, ef_search: int = 64) -> "HNSWIndex":
+        lib = _load()
+        h = lib.hnsw_load(path.encode())
+        if not h:
+            raise IOError(f"hnsw_load({path}) failed (missing/corrupt)")
+        idx = cls.__new__(cls)
+        idx._lib = lib
+        idx._h = h
+        idx.ef_search = ef_search
+        idx.d = lib.hnsw_dim(h)   # from the file header
+        return idx
 
     def search(self, q: np.ndarray, k: int,
                ef_search: Optional[int] = None

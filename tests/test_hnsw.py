@@ -51,3 +51,71 @@ def test_hnsw_k_exceeds_n(rng):
     idx.add(db)
     scores, ids = idx.search(db[:1], k=8)
     assert (ids[0, 5:] == -1).all()
+
+def test_hnsw_save_load_roundtrip(rng, tmp_path):
+    """save() + load() must reproduce the graph exactly: identical ids and
+    scores on the same queries (bitwise graph round-trip)."""
+    db = _unit(rng, 4000)
+    idx = HNSWIndex(d=64, m=16, ef_construction=80)
+    idx.add(db)
+    q = db[rng.integers(0, 4000, 50)] + \
+        0.02 * rng.standard_normal((50, 64)).astype(np.float32)
+    sv, si = idx.search(q, k=10, ef_search=96)
+    path = str(tmp_path / "graph.hnsw")
+    idx.save(path)
+    loaded = HNSWIndex.load(path, ef_search=96)
+    assert loaded.ntotal == 4000 and loaded.d == 64
+    lv, li = loaded.search(q, k=10, ef_search=96)
+    np.testing.assert_array_equal(li, si)
+    np.testing.assert_allclose(lv, sv)
+    # loaded index stays mutable: incremental add keeps working
+    loaded.add(_unit(rng, 100))
+    assert loaded.ntotal == 4100
+
+
+def test_hnsw_load_missing_raises(tmp_path):
+    with pytest.raises(IOError):
+        HNSWIndex.load(str(tmp_path / "nope.hnsw"))
+
+
+def test_hnsw_parallel_add_matches_serial_recall(rng):
+    """The lock-striped threaded bulk add must deliver the same recall as
+    the serial build (levels are a per-id hash, so the level structure is
+    identical; edge sets may differ by insert interleaving). Races are
+    checked separately under TSan (test_hnsw_tsan_harness)."""
+    db = _unit(rng, 6000)
+    q = db[rng.integers(0, 6000, 100)] + \
+        0.03 * rng.standard_normal((100, 64)).astype(np.float32)
+    gt = np.argmax(q @ db.T, axis=1)
+
+    def recall(threads):
+        idx = HNSWIndex(d=64, m=16, ef_construction=80)
+        idx.add(db, threads=threads)
+        assert idx.ntotal == 6000
+        _, ids = idx.search(q, k=10, ef_search=128)
+        return np.mean([gt[i] in ids[i] for i in range(100)])
+
+    r_serial = recall(1)
+    r_par = recall(4)
+    assert r_par >= r_serial - 0.03, (r_par, r_serial)
+    assert r_par >= 0.9
+
+
+def test_hnsw_tsan_harness():
+    """Build the standalone TSan binary (threaded add + searches) and run
+    it: any data race in the lock-striped insert aborts with a report.
+    Skipped when g++ lacks -fsanitize=thread."""
+    import os
+    import subprocess
+    src = os.path.join(os.path.dirname(__file__), "..", "nafp_tpu",
+                       "native", "hnsw.cc")
+    exe = "/tmp/nafp_hnsw_tsan_test"
+    try:
+        subprocess.run(
+            ["g++", "-O1", "-std=c++17", "-pthread", "-fsanitize=thread",
+             "-DHNSW_TSAN_MAIN", src, "-o", exe],
+            check=True, capture_output=True, timeout=180)
+    except subprocess.CalledProcessError as e:
+        pytest.skip(f"no TSan toolchain: {e.stderr[-200:]}")
+    r = subprocess.run([exe], capture_output=True, timeout=300)
+    assert r.returncode == 0, (r.returncode, r.stderr[-2000:])
