@@ -8,14 +8,63 @@ QPS on the 100x DB on a v4-8; one v5e chip carries a proportional share.
 Usage:
     python bench_search.py [--n 2000000] [--nq 2048] [--k 20]
                            [--index l2|ip|ivfpq|hnsw|pallas]
+    python bench_search.py --suite       # driver-visible regression rows
+
+``--suite`` measures {sq8, ivfpq, ivf-sq8} at a fixed 2 M-row scale against
+EXACT host ground truth, persisting the DB + built stores under --root
+(rebuild-on-miss), and writes the rows to SEARCH_BENCH.json — so search-QPS
+regressions are captured in round artifacts the way bench.py captures
+encoder throughput (VERDICT r3 weak #5: the r2->r3 search wins existed only
+in README prose and /tmp stores a VM reset deletes).
 """
 import argparse
 import json
+import os
+import sys
 import time
 
 import jax
 jax.config.update("jax_compilation_cache_dir", "/tmp/jax_tpu_cache")
 import numpy as np
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+
+
+def run_suite(args):
+    sys.path.insert(0, REPO)
+    from extras.run_100x_protocol import (exact_gt_host, load_mm,
+                                          make_queries, stage_build,
+                                          stage_gen)
+    root = args.root
+    os.makedirs(root, exist_ok=True)
+    stage_gen(root, args.n)
+    mm = load_mm(root)
+    q, pick = make_queries(mm, args.nq)
+    gt, _, _ = exact_gt_host(mm, q, root)      # cached after first run
+    rows = []
+    for index in ("sq8", "ivfpq", "ivf-sq8"):
+        out = {}
+        idx = stage_build(root, out, index=index)
+        if hasattr(idx, "nprobe"):
+            idx.nprobe = args.nprobe
+        idx.search(q, args.k)                  # warm with identical shapes
+        t0 = time.perf_counter()
+        _, ids = idx.search(q, args.k)
+        dt = time.perf_counter() - t0
+        recall = float(np.mean([gt[i] in ids[i] for i in range(len(q))]))
+        row = {"metric": "search_qps", "index": index, "n": args.n,
+               "value": round(args.nq / dt, 1), "unit": "queries/sec",
+               "k": args.k, "recall_at_k": round(recall, 4),
+               **({"nprobe": args.nprobe} if hasattr(idx, "nprobe") else {}),
+               **{kk: out[kk] for kk in ("train_sec", "add_sec",
+                                         "build_cached") if kk in out}}
+        rows.append(row)
+        print(json.dumps(row), flush=True)
+    with open(args.out, "w") as f:
+        json.dump({"suite": rows, "n": args.n, "nq": args.nq,
+                   "gt": "host-exact",
+                   "backend": jax.default_backend()}, f, indent=1)
+    print(f"wrote {args.out}", flush=True)
 
 
 def main():
@@ -31,9 +80,20 @@ def main():
                     help="force the CPU backend (the env var alone does not "
                          "override the TPU plugin; the tunnel is "
                          "single-tenant, so host-only runs must opt out)")
+    ap.add_argument("--suite", action="store_true",
+                    help="measure the fixed regression suite "
+                         "({sq8, ivfpq, ivf-sq8} @ --n rows, exact GT) and "
+                         "write SEARCH_BENCH.json")
+    ap.add_argument("--root", default="/tmp/nafp_bench2m",
+                    help="suite artifact dir (DB memmap + built stores; "
+                         "rebuild-on-miss)")
+    ap.add_argument("--nprobe", type=int, default=40)
+    ap.add_argument("--out", default=os.path.join(REPO, "SEARCH_BENCH.json"))
     args = ap.parse_args()
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
+    if args.suite:
+        return run_suite(args)
 
     rng = np.random.default_rng(0)
     print(f"building DB: {args.n:,} x {args.d} ...", flush=True)

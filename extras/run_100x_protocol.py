@@ -215,7 +215,7 @@ def _build_ivfpq(root: str, out: dict, pq_decode: str = "f32"):
             print(f"[build] store resident in "
                   f"{time.perf_counter()-t0:.0f}s", flush=True)
             out.update(index="ivfpq", nlist=idx.nlist, m=idx.m,
-                       build_cached=True)
+                       pq_decode=pq_decode, build_cached=True)
             return idx
     idx = IVFPQIndex(d=D, decode_int8=pq_decode == "int8")
     t0 = time.perf_counter()
@@ -233,7 +233,8 @@ def _build_ivfpq(root: str, out: dict, pq_decode: str = "f32"):
     print(f"[build] added {idx.ntotal:,} rows in {t_add:.0f}s; store "
           f"persisted to {cache}", flush=True)
     out.update(index="ivfpq", nlist=idx.nlist, m=idx.m,
-               train_sec=round(t_train, 1), add_sec=round(t_add, 1))
+               pq_decode=pq_decode, train_sec=round(t_train, 1),
+               add_sec=round(t_add, 1))
     return idx
 
 

@@ -155,6 +155,9 @@ def main():
     ap.add_argument("--alpha", type=float, default=0.7)
     ap.add_argument("--noise", type=float, default=0.066)
     ap.add_argument("--index", default="ivf-sq8")
+    ap.add_argument("--nprobe", type=int, default=40,
+                    help="probed lists for the IVF family (the r3 table "
+                         "used 40 = a 0.907-recall point; 96 ~ 0.967)")
     ap.add_argument("--test_ids", default="icassp")
     ap.add_argument("--stages", default="gen,eval")
     args = ap.parse_args()
@@ -174,7 +177,7 @@ def main():
                  if args.index in ("ivf-sq8", "sq8") else None)
         rates = eval_fingerprints(
             args.root, emb_dummy_dir=args.root, index_type=args.index,
-            test_ids=args.test_ids, index_cache=cache)
+            test_ids=args.test_ids, nprobe=args.nprobe, index_cache=cache)
         summary = json.load(open(os.path.join(args.root,
                                               "eval_summary.json")))
         line = {"protocol": "100x-sequence", "alpha": args.alpha,

@@ -66,10 +66,10 @@ def stage_data(root: str, n_train: int, sec: float) -> None:
         json.dump(want, f)
 
 
-def stage_config(root: str, epochs: int) -> str:
+def stage_config(root: str, epochs: int, recipe: str, name: str) -> str:
     import yaml
     from nafp_tpu.configuration import load_config
-    cfg = load_config(os.path.join(REPO, "nafp_tpu/config/640_lamb.yaml"))
+    cfg = load_config(os.path.join(REPO, f"nafp_tpu/config/{recipe}.yaml"))
     cfg["DIR"].update(
         SOURCE_ROOT_DIR=f"{root}/music/", BG_ROOT_DIR=f"{root}/aug/bg/",
         IR_ROOT_DIR=f"{root}/aug/ir/", SPEECH_ROOT_DIR=f"{root}/aug/speech/",
@@ -77,7 +77,7 @@ def stage_config(root: str, epochs: int) -> str:
     cfg["TRAIN"].update(MAX_EPOCH=epochs, CHECKPOINT_INTERVAL=10,
                         MINI_TEST_IN_TRAIN=False, SAVE_IMG=False)
     cfg["DEVICE"].update(DEVICE_CORPUS=True, DEVICE_CORPUS_MAX_GB=4)
-    path = os.path.join(root, "config", "conv640.yaml")
+    path = os.path.join(root, "config", f"{name}.yaml")
     os.makedirs(os.path.dirname(path), exist_ok=True)
     with open(path, "w") as f:
         yaml.dump(cfg, f)
@@ -85,9 +85,9 @@ def stage_config(root: str, epochs: int) -> str:
     return path
 
 
-def newest_epoch(root: str) -> int:
+def newest_epoch(root: str, name: str) -> int:
     cands = [int(os.path.basename(p)) for p in
-             glob.glob(os.path.join(root, "logs/checkpoint/conv640/*"))
+             glob.glob(os.path.join(root, f"logs/checkpoint/{name}/*"))
              if os.path.basename(p).isdigit()]
     if not cands:
         sys.exit("[error] no checkpoint found; run the train stage first")
@@ -101,6 +101,11 @@ def main() -> None:
     ap.add_argument("--sec", type=float, default=30.0)
     ap.add_argument("--epochs", type=int, default=100)
     ap.add_argument("--index", default="l2")
+    ap.add_argument("--recipe", default="640_lamb",
+                    choices=("640_lamb", "now_playing", "default"),
+                    help="config preset the run derives from; now_playing "
+                         "= the Online-Triplet recipe (VERDICT r4 item 6: "
+                         "the one loss branch without convergence evidence)")
     ap.add_argument("--stages",
                     default="data,config,train,generate,evaluate")
     args = ap.parse_args()
@@ -108,21 +113,23 @@ def main() -> None:
     os.makedirs(args.root, exist_ok=True)
     py = sys.executable
     run_py = os.path.join(REPO, "run.py")
+    name = {"640_lamb": "conv640", "now_playing": "convtrip",
+            "default": "convdef"}[args.recipe]
 
     if "data" in stages:
         stage_data(args.root, args.n_train, args.sec)
     if "config" in stages:
-        stage_config(args.root, args.epochs)
+        stage_config(args.root, args.epochs, args.recipe, name)
     if "train" in stages:
-        sh([py, run_py, "train", "conv640", "-c", "conv640"], args.root)
+        sh([py, run_py, "train", name, "-c", name], args.root)
     ep = None
     if "generate" in stages:
-        ep = newest_epoch(args.root)
-        sh([py, run_py, "generate", "conv640", str(ep), "-c", "conv640",
+        ep = newest_epoch(args.root, name)
+        sh([py, run_py, "generate", name, str(ep), "-c", name,
             "-y"], args.root)
     if "evaluate" in stages:
-        ep = ep or newest_epoch(args.root)
-        sh([py, run_py, "evaluate", "conv640", str(ep), "-c", "conv640",
+        ep = ep or newest_epoch(args.root, name)
+        sh([py, run_py, "evaluate", name, str(ep), "-c", name,
             "-i", args.index, "-t", "icassp"], args.root)
 
 
