@@ -15,6 +15,24 @@ partition would idle devices whose lists aren't probed).
 These are the TPU-native counterparts of FAISS's GPU sharding
 (IndexShards/index_cpu_to_gpu_multiple); the reference itself never scaled
 past one GPU (eval/utils/get_index_faiss.py:100-103 clones to one device).
+
+Why there is NO sharded IVF-PQ (a reasoned no, by traffic math)
+---------------------------------------------------------------
+IVF-PQ's one selling point is HBM footprint: 64 B/vec of codes vs the sq8
+family's ~137 B/vec (128 int8 + f32 scale + int32 id + f32 mask). But its
+scan must DECODE before it can matmul: the one-hot decode materializes a
+bf16 chunk (256 B/row) plus the one-hot dot operand, so per row scanned
+it moves ~2.5x the bytes of the int8 scan — and measured end-to-end it is
+strictly slower at every scale we run: 3,076 vs 5,375 QPS @ 2 M and 239
+vs 2,922 QPS @ 53.6 M (one v5e chip, exact host GT, round 4). Sharding
+divides rows per chip identically for both layouts, so the QPS ratio is
+mesh-invariant; PQ can only win when capacity binds, i.e. when
+rows/chip x 137 B exceeds the ~14 GB of usable HBM — above ~100 M rows
+PER CHIP (≈ 800 M rows on a v4-8), 15x the reference's full 100x
+protocol. Below that line sq8-sharded dominates on every axis (QPS,
+recall=1.0 exactness, build time), so a sharded IVF-PQ would be dead
+code with a maintenance surface; revisit only if corpora approach 1e9
+rows per 8-chip pod slice.
 """
 from __future__ import annotations
 
