@@ -296,3 +296,56 @@ def test_train_step_lamb_multidevice(tiny_cfg):
     state, loss, _ = step(state, db, jax.random.PRNGKey(0))
     state, loss2, _ = step(state, db, jax.random.PRNGKey(1))
     assert np.isfinite(float(loss)) and np.isfinite(float(loss2))
+
+
+def test_train_step_triplet_reduces_loss(tiny_cfg):
+    """The now_playing recipe's trainer branch (reference
+    config/now_playing.yaml:80, model/trainer.py:159-169): semi-hard
+    online triplet loss, N/5 anchors, must train on a fixed batch."""
+    from nafp_tpu.data.catalog import Dataset
+    from nafp_tpu.optim.schedules import build_optimizer
+    from nafp_tpu.parallel.mesh import make_data_mesh
+    from nafp_tpu.train import trainer as T
+
+    cfg = dict(tiny_cfg)
+    cfg["BSZ"] = dict(cfg["BSZ"], TR_BATCH_SZ=10, TR_N_ANCHOR=2)
+    cfg["LOSS"] = dict(cfg["LOSS"], LOSS_MODE="Online-Triplet", MARGIN=0.5)
+    cfg["TRAIN"] = dict(cfg["TRAIN"], LR=3e-3)
+    melspec_fn, specaug_fn, model, mcfg = _small_model_fp(cfg)
+    ds = Dataset(cfg).get_train_ds()
+    opt = build_optimizer(cfg, 100)
+    params = T.init_params(cfg, model, mcfg)
+    state = T.TrainState(params, opt.init(params), jnp.zeros([], jnp.int32))
+    mesh = make_data_mesh(1)
+    step = T.make_train_step(cfg, melspec_fn, specaug_fn, model, opt, mesh)
+    db = T._device_batch(ds[0], mesh)
+    losses = []
+    for i in range(8):
+        state, loss, sim = step(state, db, jax.random.fold_in(
+            jax.random.PRNGKey(0), i))
+        losses.append(float(loss))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0]
+
+
+def test_full_trainer_loop_triplet(tiny_cfg, monkeypatch):
+    """trainer() end-to-end with LOSS.LOSS_MODE='Online-Triplet' — the
+    val loop uses mode 'all' margin 0 like the reference (trainer.py:165-169)."""
+    from nafp_tpu.models import nnfp
+    from nafp_tpu.train import trainer as T
+
+    monkeypatch.setattr(
+        T, "get_fingerprinter",
+        lambda cfg, bn_axis=None: nnfp.FingerPrinter(
+            norm="layer_norm2d", dtype=jnp.float32, **SMALL_MODEL))
+    cfg = {k: (dict(v) if isinstance(v, dict) else v)
+           for k, v in tiny_cfg.items()}
+    cfg["BSZ"].update(TR_BATCH_SZ=10, TR_N_ANCHOR=2)
+    cfg["LOSS"].update(LOSS_MODE="Online-Triplet", MARGIN=0.5)
+    T.trainer(cfg, "t_trip")
+    ckpt_dir = os.path.join(cfg["DIR"]["LOG_ROOT_DIR"], "checkpoint",
+                            "t_trip")
+    assert os.path.isdir(ckpt_dir)
+    metrics = glob.glob(os.path.join(cfg["DIR"]["LOG_ROOT_DIR"], "fit",
+                                     "t_trip", "*", "metrics.jsonl"))
+    assert metrics and "loss/val" in open(metrics[0]).read()
