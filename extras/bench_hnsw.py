@@ -31,29 +31,10 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 D = 128
 
 
-def exact_gt(db: np.ndarray, q: np.ndarray, k: int, cache: str):
-    """Exact top-k ids via blocked host torch sgemm (numpy's OpenBLAS on
-    this VM runs sgemm at 0.4 GFLOPS vs torch ~30; CLAUDE.md)."""
-    if os.path.exists(cache):
-        z = np.load(cache)
-        if z["ids"].shape == (len(q), k):
-            return z["ids"]
-    import torch
-    torch.set_num_threads(1)
-    qt = torch.from_numpy(np.ascontiguousarray(q))
-    best_v = np.full((len(q), k), -np.inf, np.float32)
-    best_i = np.full((len(q), k), -1, np.int64)
-    for s in range(0, len(db), 1 << 19):
-        e = min(s + (1 << 19), len(db))
-        sim = qt @ torch.from_numpy(db[s:e]).T
-        pv, pi = torch.topk(sim, k, dim=1)
-        cat_v = np.concatenate([best_v, pv.numpy()], axis=1)
-        cat_i = np.concatenate([best_i, pi.numpy().astype(np.int64) + s], 1)
-        sel = np.argsort(-cat_v, axis=1)[:, :k]
-        best_v = np.take_along_axis(cat_v, sel, axis=1)
-        best_i = np.take_along_axis(cat_i, sel, axis=1)
-    np.savez(cache, ids=best_i)
-    return best_i
+# recall is measured against top-1 only; reuse the canonical qhash-keyed
+# helper instead of a shape-validated local cache (a shape-only check
+# silently reuses stale GT when the query construction changes)
+from extras.run_100x_protocol import exact_gt_host  # noqa: E402
 
 
 def main():
@@ -78,8 +59,7 @@ def main():
     q = db[rng.integers(0, args.n, args.nq)] + \
         0.05 * rng.standard_normal((args.nq, D)).astype(np.float32)
     q /= np.linalg.norm(q, axis=1, keepdims=True)
-    gt = exact_gt(db, q, args.k, os.path.join(args.root, f"gt_{args.n}.npz"))
-    gt1 = gt[:, 0]
+    gt1, _, _ = exact_gt_host(db, q, args.root)
 
     results_path = os.path.join(args.root, "results.jsonl")
     for efc in map(int, args.ef_construction.split(",")):

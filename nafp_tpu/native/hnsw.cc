@@ -304,7 +304,16 @@ void grow(Hnsw& h, const float* data, int n) {
   memcpy(h.data.data() + static_cast<int64_t>(start) * h.d, data,
          sizeof(float) * static_cast<int64_t>(n) * h.d);
   h.levels.resize(total, 0);
-  for (auto& layer : h.links) layer.resize(total);
+  // Size only the layers any node can touch. Levels are a pure per-id
+  // hash (sample_level), so the deepest layer is known BEFORE any insert
+  // runs — including under the threaded add, where resizing a layer
+  // mid-insert would race. Sizing all 64 preallocated layers costs
+  // 64 * n empty vector headers (24 B each): ~768 MB at 500 k rows,
+  // ~82 GB at 53.6 M — for ~log_M(n) <= ~5 populated layers.
+  int needed = std::max(h.max_level, 0);
+  for (int id = start; id < total; ++id)
+    needed = std::max(needed, sample_level(h, id));
+  for (int l = 0; l <= needed; ++l) h.links[l].resize(total);
 }
 
 void hnsw_add(void* handle, const float* data, int n) {
@@ -414,12 +423,19 @@ void* hnsw_load(const char* path) {
     fclose(f);
     return nullptr;
   }
+  // header sanity: a corrupted file that passes the magic check must not
+  // index out of bounds (entry/max_level bound every later array access)
+  if (hdr[0] <= 0 || hdr[1] <= 0 || n < 0 || hdr[4] >= 64 ||
+      hdr[3] < -1 || hdr[3] >= n) {
+    fclose(f);
+    return nullptr;
+  }
   auto* h = static_cast<Hnsw*>(hnsw_create(hdr[0], hdr[1], hdr[2], seed));
   h->entry = hdr[3];
   h->max_level = hdr[4];
   h->levels.resize(n);
   h->data.resize(n * h->d);
-  for (auto& layer : h->links) layer.resize(n);
+  for (int l = 0; l <= std::max(h->max_level, 0); ++l) h->links[l].resize(n);
   bool ok = r(h->levels.data(), n * sizeof(int)) &&
             r(h->data.data(), n * h->d * sizeof(float));
   for (int l = 0; ok && l <= std::max(h->max_level, 0); ++l) {
@@ -429,6 +445,13 @@ void* hnsw_load(const char* path) {
       if (ok && cnt) {
         h->links[l][i].resize(cnt);
         ok = r(h->links[l][i].data(), cnt * sizeof(int));
+        // neighbor ids feed unchecked data/visited indexing at search
+        // time; reject any id outside [0, n) here instead of segfaulting
+        // there (bit rot, truncated/overwritten store)
+        for (int32_t j = 0; ok && j < cnt; ++j) {
+          int nb = h->links[l][i][j];
+          ok = nb >= 0 && nb < n;
+        }
       }
     }
   }

@@ -48,14 +48,15 @@ class FlatIndex:
         self._db_sq_host = np.einsum("nd,nd->n", db_host, db_host)
         self.db_sq = jnp.asarray(self._db_sq_host)
         self.ntotal = self.db.shape[0]
-        # On unit-norm rows (all fingerprints are L2-normalized) L2 ranking
+        # On equal-norm rows (all fingerprints are L2-normalized) L2 ranking
         # == IP ranking, so the 'l2' metric can ride the fused Pallas kernel
         # too — without this, the XLA path's (Bq, N) f32 logits tensor is an
         # HBM OOM at the reference's standard mini protocol (~5.9 M rows
-        # x 2048-query block = 48 GB).
-        spread = float(self._db_sq_host.max(initial=1.0)
-                       - self._db_sq_host.min(initial=1.0)) \
-            if self.ntotal else 0.0
+        # x 2048-query block = 48 GB). Any shared norm qualifies (the L2^2
+        # conversion gathers per-row db_sq anyway), so no `initial=` — it
+        # would participate in the reduction and reject e.g. all-norm-2 DBs.
+        spread = float(self._db_sq_host.max()
+                       - self._db_sq_host.min()) if self.ntotal else 0.0
         self._unit_norm = spread < 1e-3
 
     # NOTE for every index here: device arrays are passed as jit ARGUMENTS,

@@ -50,14 +50,18 @@ def conv_eye(x: jax.Array, scope: int) -> jax.Array:
 def _ranks_for_scope(all_d: jax.Array, scope: int, sign: float,
                      gt_id_offset: int) -> jax.Array:
     """Rank of the ground-truth db row per (aug, target), entirely on
-    device: rank = #(scores strictly better than the gt's) — no argsort,
-    no per-target host loop (the reference scans ``np.where(order == gt)``
-    per target, O(nQ·nD) Python work if max_n_samples is raised)."""
+    device: rank = #(strictly better) + #(ties other than gt itself) — no
+    argsort, no per-target host loop (the reference scans
+    ``np.where(order == gt)`` per target, O(nQ·nD) Python work if
+    max_n_samples is raised). Ties count AGAINST the gt: a collapsed model
+    (all embeddings identical — the SpecAug failure mode in CLAUDE.md)
+    must read as ~0 % top-1 in the in-training monitor, not 100 %."""
     d = conv_eye(all_d, scope) * sign
     n_targets = d.shape[1]
     gt = jnp.arange(n_targets) + gt_id_offset                # (nQ',)
     d_gt = jnp.take_along_axis(d, gt[None, :, None], axis=2)  # (nAug,nQ',1)
-    return jnp.sum(d < d_gt, axis=2)                          # (nAug, nQ')
+    return (jnp.sum(d < d_gt, axis=2)
+            + jnp.sum(d == d_gt, axis=2) - 1)                 # (nAug, nQ')
 
 
 def mini_search_eval(query: jax.Array,

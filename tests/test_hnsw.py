@@ -110,12 +110,22 @@ def test_hnsw_tsan_harness():
     src = os.path.join(os.path.dirname(__file__), "..", "nafp_tpu",
                        "native", "hnsw.cc")
     exe = "/tmp/nafp_hnsw_tsan_test"
+    # Probe the toolchain with a trivial TU first: only a missing TSan
+    # runtime may skip. A compile error in the harness itself (the
+    # #ifdef HNSW_TSAN_MAIN block is dead code in the normal .so build,
+    # so only this test compiles it) must FAIL, not skip.
+    probe = "/tmp/nafp_tsan_probe"
+    with open(probe + ".cc", "w") as f:
+        f.write("int main(){return 0;}\n")
     try:
         subprocess.run(
-            ["g++", "-O1", "-std=c++17", "-pthread", "-fsanitize=thread",
-             "-DHNSW_TSAN_MAIN", src, "-o", exe],
-            check=True, capture_output=True, timeout=180)
+            ["g++", "-fsanitize=thread", probe + ".cc", "-o", probe],
+            check=True, capture_output=True, timeout=60)
     except subprocess.CalledProcessError as e:
         pytest.skip(f"no TSan toolchain: {e.stderr[-200:]}")
+    subprocess.run(
+        ["g++", "-O1", "-std=c++17", "-pthread", "-fsanitize=thread",
+         "-DHNSW_TSAN_MAIN", src, "-o", exe],
+        check=True, capture_output=True, timeout=180)
     r = subprocess.run([exe], capture_output=True, timeout=300)
     assert r.returncode == 0, (r.returncode, r.stderr[-2000:])

@@ -314,6 +314,22 @@ def test_flat_l2_kernel_route_requires_equal_norms(rng):
     assert not idx._use_fused()
 
 
+def test_flat_l2_kernel_route_any_shared_norm(rng):
+    """ANY shared row norm qualifies, not just 1.0 (the L2^2 conversion
+    gathers per-row db_sq): an all-norm-2 DB must keep the fused route
+    and produce correct L2^2 values."""
+    db = _unit(rng, 2000) * 2.0
+    q = db[rng.integers(0, 2000, 6)] + \
+        0.02 * rng.standard_normal((6, 128)).astype(np.float32)
+    idx = FlatIndex(db, metric="l2")
+    assert idx._unit_norm
+    xv, xi = idx.search(q, k=5)            # XLA path (CPU backend)
+    idx.force_interpret_fused = True       # fused kernel, interpret mode
+    kv, ki = idx.search(q, k=5)
+    np.testing.assert_array_equal(ki, xi)
+    np.testing.assert_allclose(kv, xv, rtol=1e-4, atol=1e-5)
+
+
 def test_flat_xla_block_cap_bounds_logits():
     """Size-math guard (VERDICT r3 weak #1): at the reference's standard
     mini-protocol scale (~5.9 M rows) the XLA fallback must clamp the

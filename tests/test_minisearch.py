@@ -57,3 +57,16 @@ def test_mini_search_eval_gt_offset(rng):
                                        scopes=(1,), display=False,
                                        gt_id_offset=off)
     assert top1[0] == 100.0
+
+
+def test_collapsed_embeddings_read_as_chance_not_perfect():
+    """A collapsed model (all embeddings identical — the SpecAug failure
+    mode in CLAUDE.md) ties every db row with the ground truth; the
+    monitor must report ~0 % top-1, not 100 % (ties count against gt)."""
+    q = jnp.ones((10, 1, 8), jnp.float32)
+    db = jnp.ones((30, 8), jnp.float32)
+    (top1, _, top10), mrank = mini_search_eval(q, db, scopes=(1,),
+                                               display=False)
+    assert top1[0] == 0.0
+    assert top10[0] == 0.0
+    assert mrank[0] == 29.0  # all 29 non-gt rows tie ahead of gt
