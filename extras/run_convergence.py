@@ -66,7 +66,8 @@ def stage_data(root: str, n_train: int, sec: float) -> None:
         json.dump(want, f)
 
 
-def stage_config(root: str, epochs: int, recipe: str, name: str) -> str:
+def stage_config(root: str, epochs: int, recipe: str, name: str,
+                 margin: float | None = None) -> str:
     import yaml
     from nafp_tpu.configuration import load_config
     cfg = load_config(os.path.join(REPO, f"nafp_tpu/config/{recipe}.yaml"))
@@ -77,6 +78,8 @@ def stage_config(root: str, epochs: int, recipe: str, name: str) -> str:
     cfg["TRAIN"].update(MAX_EPOCH=epochs, CHECKPOINT_INTERVAL=10,
                         MINI_TEST_IN_TRAIN=False, SAVE_IMG=False)
     cfg["DEVICE"].update(DEVICE_CORPUS=True, DEVICE_CORPUS_MAX_GB=4)
+    if margin is not None:
+        cfg["LOSS"]["MARGIN"] = float(margin)
     path = os.path.join(root, "config", f"{name}.yaml")
     os.makedirs(os.path.dirname(path), exist_ok=True)
     with open(path, "w") as f:
@@ -106,6 +109,13 @@ def main() -> None:
                     help="config preset the run derives from; now_playing "
                          "= the Online-Triplet recipe (VERDICT r4 item 6: "
                          "the one loss branch without convergence evidence)")
+    ap.add_argument("--margin", type=float, default=None,
+                    help="override LOSS.MARGIN (triplet recipes only; the "
+                         "preset's 0.5 hinge is born dead at init on this "
+                         "corpus — see CLAUDE.md training-dynamics notes)")
+    ap.add_argument("--tag", default="",
+                    help="suffix for the run name so recipe variants keep "
+                         "separate checkpoint/emb trees under one corpus")
     ap.add_argument("--stages",
                     default="data,config,train,generate,evaluate")
     args = ap.parse_args()
@@ -114,12 +124,13 @@ def main() -> None:
     py = sys.executable
     run_py = os.path.join(REPO, "run.py")
     name = {"640_lamb": "conv640", "now_playing": "convtrip",
-            "default": "convdef"}[args.recipe]
+            "default": "convdef"}[args.recipe] + args.tag
 
     if "data" in stages:
         stage_data(args.root, args.n_train, args.sec)
     if "config" in stages:
-        stage_config(args.root, args.epochs, args.recipe, name)
+        stage_config(args.root, args.epochs, args.recipe, name,
+                     margin=args.margin)
     if "train" in stages:
         sh([py, run_py, "train", name, "-c", name], args.root)
     ep = None
