@@ -30,12 +30,18 @@ def main():
               help="Config preset name; resolved to config/<NAME>.yaml.")
 @click.option("--max_epoch", default=None, type=click.INT,
               help="Override TRAIN.MAX_EPOCH from the config.")
-def train(checkpoint_name, config, max_epoch):
+@click.option("--nogpu", default=False, is_flag=True,
+              help="Train on CPU devices (parity flag; matches generate/"
+                   "evaluate --nogpu — smoke-tests recipes off-TPU).")
+def train(checkpoint_name, config, max_epoch, nogpu):
     """Train a fingerprinter and checkpoint it under CHECKPOINT_NAME.
 
     Resumes automatically from the newest checkpoint when the checkpoint
     directory for CHECKPOINT_NAME already exists.
     """
+    if nogpu:
+        import jax
+        jax.config.update("jax_platforms", "cpu")
     from nafp_tpu.train.trainer import trainer
 
     cfg = load_config(config)

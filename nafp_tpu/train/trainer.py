@@ -74,6 +74,13 @@ def _make_loss_fn(cfg, melspec_fn, specaug_fn, model, train: bool,
     loss_mode = str(cfg["LOSS"]["LOSS_MODE"]).upper()
     tau = float(cfg["LOSS"]["TAU"])
     margin = float(cfg["LOSS"]["MARGIN"])
+    # Training-time mining mode for the triplet branch. The reference pins
+    # 'semi-hard' (model/trainer.py:159-163); we default to that but expose
+    # the loss's other reductions ('hardest', 'all', 'all-balanced') as
+    # LOSS.MINING_MODE — measured here (CLAUDE.md training-dynamics notes),
+    # the semi-hard hinge saturates at init on synthetic corpora, so the
+    # alternates are the only way to study the branch's dynamics at all.
+    mining_mode = str(cfg["LOSS"].get("MINING_MODE", "semi-hard"))
     snr = tuple(cfg["TD_AUG"]["TR_SNR" if train else "VAL_SNR"])
     use_bg = bool(cfg["TD_AUG"]["TR_BG_AUG" if train else "VAL_BG_AUG"])
     use_ir = bool(cfg["TD_AUG"]["TR_IR_AUG" if train else "VAL_IR_AUG"])
@@ -126,7 +133,7 @@ def _make_loss_fn(cfg, melspec_fn, specaug_fn, model, train: bool,
                 emb[:n_anchors], emb[n_anchors:], n_anchor=n_anchors,
                 n_pos_per_anchor=n_ppa,
                 margin=margin if train else 0.0,
-                mode="semi-hard" if train else "all")
+                mode=mining_mode if train else "all")
             if axis_name is not None:
                 loss = jax.lax.pmean(loss, axis_name)
         else:

@@ -27,6 +27,14 @@ def test_train_help_mentions_resume():
     assert "resume" in r.output.lower()
 
 
+def test_train_help_exposes_nogpu():
+    """train --nogpu (parity with generate/evaluate) smoke-tests recipes
+    off-TPU; driven for real in the verify recipe."""
+    r = CliRunner().invoke(_load_run_cli(), ["train", "--help"])
+    assert r.exit_code == 0
+    assert "--nogpu" in r.output
+
+
 def test_missing_config_exits_nonzero(tmp_path):
     r = CliRunner().invoke(_load_run_cli(),
                            ["train", "x", "-c", "no_such_config"])

@@ -328,6 +328,39 @@ def test_train_step_triplet_reduces_loss(tiny_cfg):
     assert losses[-1] < losses[0]
 
 
+def test_train_step_triplet_mining_mode_knob(tiny_cfg):
+    """LOSS.MINING_MODE reaches the loss: 'hardest' scores the same batch
+    differently from the default 'semi-hard' (mean-over-elements vs
+    hardest-positive/closest-negative hinge), and both step finitely.
+    Knob added because the reference's pinned semi-hard saturates at init
+    on synthetic corpora (CLAUDE.md training-dynamics notes)."""
+    from nafp_tpu.data.catalog import Dataset
+    from nafp_tpu.optim.schedules import build_optimizer
+    from nafp_tpu.parallel.mesh import make_data_mesh
+    from nafp_tpu.train import trainer as T
+
+    losses = {}
+    for mode in ("semi-hard", "hardest"):
+        cfg = dict(tiny_cfg)
+        cfg["BSZ"] = dict(cfg["BSZ"], TR_BATCH_SZ=10, TR_N_ANCHOR=2)
+        cfg["LOSS"] = dict(cfg["LOSS"], LOSS_MODE="Online-Triplet",
+                           MARGIN=0.5, MINING_MODE=mode)
+        melspec_fn, specaug_fn, model, mcfg = _small_model_fp(cfg)
+        ds = Dataset(cfg).get_train_ds()
+        opt = build_optimizer(cfg, 100)
+        params = T.init_params(cfg, model, mcfg)
+        state = T.TrainState(params, opt.init(params),
+                             jnp.zeros([], jnp.int32))
+        mesh = make_data_mesh(1)
+        step = T.make_train_step(cfg, melspec_fn, specaug_fn, model, opt,
+                                 mesh)
+        db = T._device_batch(ds[0], mesh)
+        _, loss, _ = step(state, db, jax.random.PRNGKey(0))
+        losses[mode] = float(loss)
+    assert np.isfinite(list(losses.values())).all()
+    assert losses["semi-hard"] != losses["hardest"]
+
+
 def test_full_trainer_loop_triplet(tiny_cfg, monkeypatch):
     """trainer() end-to-end with LOSS.LOSS_MODE='Online-Triplet' — the
     val loop uses mode 'all' margin 0 like the reference (trainer.py:165-169)."""
