@@ -67,7 +67,8 @@ def stage_data(root: str, n_train: int, sec: float) -> None:
 
 
 def stage_config(root: str, epochs: int, recipe: str, name: str,
-                 margin: float | None = None) -> str:
+                 margin: float | None = None,
+                 mining_mode: str | None = None) -> str:
     import yaml
     from nafp_tpu.configuration import load_config
     cfg = load_config(os.path.join(REPO, f"nafp_tpu/config/{recipe}.yaml"))
@@ -80,6 +81,8 @@ def stage_config(root: str, epochs: int, recipe: str, name: str,
     cfg["DEVICE"].update(DEVICE_CORPUS=True, DEVICE_CORPUS_MAX_GB=4)
     if margin is not None:
         cfg["LOSS"]["MARGIN"] = float(margin)
+    if mining_mode is not None:
+        cfg["LOSS"]["MINING_MODE"] = mining_mode
     path = os.path.join(root, "config", f"{name}.yaml")
     os.makedirs(os.path.dirname(path), exist_ok=True)
     with open(path, "w") as f:
@@ -113,6 +116,9 @@ def main() -> None:
                     help="override LOSS.MARGIN (triplet recipes only; the "
                          "preset's 0.5 hinge is born dead at init on this "
                          "corpus — see CLAUDE.md training-dynamics notes)")
+    ap.add_argument("--mining_mode", default=None,
+                    choices=("semi-hard", "hardest", "all", "all-balanced"),
+                    help="override LOSS.MINING_MODE (triplet recipes only)")
     ap.add_argument("--tag", default="",
                     help="suffix for the run name so recipe variants keep "
                          "separate checkpoint/emb trees under one corpus")
@@ -130,7 +136,7 @@ def main() -> None:
         stage_data(args.root, args.n_train, args.sec)
     if "config" in stages:
         stage_config(args.root, args.epochs, args.recipe, name,
-                     margin=args.margin)
+                     margin=args.margin, mining_mode=args.mining_mode)
     if "train" in stages:
         sh([py, run_py, "train", name, "-c", name], args.root)
     ep = None
