@@ -16,9 +16,13 @@ the reference fast path (:183-194); inputs must be L2-normalized.
 
 Faithful reproductions of the reference reduction formulas per mode
 (:211-236), including the 'all'-mode elementwise (not all-pairs) pairing.
-One deliberate fix: ``num_active_triplets`` counts positive elements
+Two deliberate fixes: (1) ``num_active_triplets`` counts positive elements
 *before* the mean-reduction — the reference counts on the reduced scalar
-(:238), which is always 0 or 1.
+(:238), which is always 0 or 1; (2) 'hardest' masks negatives by +inf
+before the min — the reference mins over the mask-zeroed matrix (:227-229),
+so its "closest negative" is identically 0 and the mode degenerates to
+mean(relu(hardest_ap + margin)) (see the inline note; measured on a real
+training run before the fix).
 """
 from __future__ import annotations
 
@@ -83,8 +87,15 @@ def online_triplet_loss(emb_anchor: jax.Array,
         per_elem = jnp.maximum(ap_row - an_row + margin, 0.0)
         loss = jnp.mean(per_elem)
     elif mode == "hardest":
+        # Deliberate fix #2: the reference takes min over the mask-ZEROED
+        # matrix (:227-229), so the masked entries (value 0) always win and
+        # the "closest negative" is identically 0 — its hardest mode reduces
+        # to mean(relu(hardest_ap + margin)), which only pulls positives
+        # together and pins the loss at exactly `margin` once they collapse
+        # (measured: tr_loss = 0.5000 for 10 epochs on the synthetic corpus).
+        # Mask by +inf instead so the min picks a real negative.
+        an_row = jnp.min(jnp.where(an_mask > 0, dists, jnp.inf), axis=1)
         ap_row = jnp.max(ap_d, axis=1)
-        an_row = jnp.min(dists * an_mask, axis=1)
         per_elem = jnp.maximum(ap_row - an_row + margin, 0.0)
         loss = jnp.mean(per_elem)
     elif mode == "semi-hard":

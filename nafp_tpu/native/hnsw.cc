@@ -43,7 +43,8 @@ struct Hnsw {
   int M;            // max links per node per layer (2M at layer 0)
   int ef_c;         // efConstruction
   double level_mult;
-  std::mt19937_64 rng;
+  // Level sampling is the deterministic per-id splitmix hash (sample_level)
+  // -- no RNG stream, which is what makes the parallel add order-invariant.
   uint64_t seed = 0;
 
   std::vector<float> data;                       // n * d
@@ -292,7 +293,6 @@ void* hnsw_create(int d, int M, int ef_construction, uint64_t seed) {
   h->ef_c = ef_construction;
   h->level_mult = 1.0 / std::log(std::max(2, M));
   h->seed = seed;
-  h->rng.seed(seed);
   h->links.resize(64);  // max levels; geometric makes >40 impossible
   return h;
 }
@@ -427,6 +427,23 @@ void* hnsw_load(const char* path) {
   // index out of bounds (entry/max_level bound every later array access)
   if (hdr[0] <= 0 || hdr[1] <= 0 || n < 0 || hdr[4] >= 64 ||
       hdr[3] < -1 || hdr[3] >= n) {
+    fclose(f);
+    return nullptr;
+  }
+  // Bound n by what the file can actually hold (levels: 4 B/node, data:
+  // 4*d B/node must follow the header): a corrupt/crafted n would
+  // otherwise drive multi-GB resizes whose bad_alloc (or n*d overflow)
+  // escapes the extern "C" boundary and aborts the process instead of
+  // returning the designed nullptr.
+  long hdr_end = ftell(f);
+  if (hdr_end < 0 || fseek(f, 0, SEEK_END) != 0) { fclose(f); return nullptr; }
+  long fsz = ftell(f);
+  if (fsz < hdr_end || fseek(f, hdr_end, SEEK_SET) != 0) {
+    fclose(f);
+    return nullptr;
+  }
+  int64_t per_node = 4 + 4 * static_cast<int64_t>(hdr[0]);
+  if (n > (fsz - hdr_end) / per_node) {
     fclose(f);
     return nullptr;
   }

@@ -189,21 +189,10 @@ def _hits_for_block(index, recon_dev, recon_host, query, ids_block, sl,
 
 
 def _cacheable_cls(index_type: str, nprobe: int):
-    """(cls, load_kwargs) for index types whose built store can persist to
-    / load from an npz (the int8 family; the quantize+ship is the hours-
-    long part at 100x scale). None for everything else."""
-    from nafp_tpu.search.index import IVFSQ8Index, SQ8FlatIndex
-    if index_type == "ivf-sq8":
-        return IVFSQ8Index, {"nprobe": nprobe}
-    if index_type in ("sq8", "sq8-flat"):
-        return SQ8FlatIndex, {}
-    if index_type == "sq8-sharded":
-        from nafp_tpu.search.sharded import ShardedSQ8FlatIndex
-        return ShardedSQ8FlatIndex, {}
-    if index_type == "ivf-sq8-sharded":
-        from nafp_tpu.search.sharded import ShardedIVFSQ8Index
-        return ShardedIVFSQ8Index, {"nprobe": nprobe}
-    return None, None
+    """Single registry: nafp_tpu.search.index.cacheable_cls (kept as a
+    module-local alias for the existing call site / tests)."""
+    from nafp_tpu.search.index import cacheable_cls
+    return cacheable_cls(index_type, nprobe)
 
 
 def eval_fingerprints(emb_dir: str,

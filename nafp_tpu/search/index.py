@@ -55,9 +55,16 @@ class FlatIndex:
         # x 2048-query block = 48 GB). Any shared norm qualifies (the L2^2
         # conversion gathers per-row db_sq anyway), so no `initial=` — it
         # would participate in the reduction and reject e.g. all-norm-2 DBs.
-        spread = float(self._db_sq_host.max()
-                       - self._db_sq_host.min()) if self.ntotal else 0.0
-        self._unit_norm = spread < 1e-3
+        # Relative tolerance: f32-normalized rows sit at ~1e-7 relative
+        # spread; an absolute cutoff would silently re-rank near-but-not-
+        # equal-norm DBs (fp16-roundtripped, dequantized) by IP while the
+        # class promises exact L2.
+        if self.ntotal:
+            mx = float(self._db_sq_host.max())
+            spread = mx - float(self._db_sq_host.min())
+            self._unit_norm = spread <= 1e-5 * max(abs(mx), 1e-12)
+        else:
+            self._unit_norm = True
 
     # NOTE for every index here: device arrays are passed as jit ARGUMENTS,
     # never accessed via a static `self` — a static self bakes the whole DB
@@ -158,6 +165,20 @@ class FlatIndex:
 # ---------------------------------------------------------------------------
 # Exact int8 flat index (full-scan Pallas kernel)
 # ---------------------------------------------------------------------------
+def _pad_sq8_store(q8, scales, ids, multiple: int):
+    """Repad a quantized store to a row multiple. THE single owner of the
+    pad-row contract (zero vectors, scale 0, id -1 — the kernels mask on
+    id < 0): quantize, single-device load, and sharded publish all repad
+    through here, so a contract change cannot desynchronize them."""
+    extra = (-len(q8)) % multiple
+    if extra:
+        d = q8.shape[1]
+        q8 = np.concatenate([q8, np.zeros((extra, d), np.int8)])
+        scales = np.concatenate([scales, np.zeros(extra, np.float32)])
+        ids = np.concatenate([ids, np.full(extra, -1, np.int32)])
+    return q8, scales, ids
+
+
 def _quantize_sq8_host(data, pad_multiple: int, block: int = 1 << 20):
     """Host-side per-row int8 quantization of an array or disk memmap,
     padded to a multiple of ``pad_multiple`` rows (pad rows id -1 / scale
@@ -245,13 +266,8 @@ class SQ8FlatIndex:
         d = q8.shape[1]
         idx = cls(d=d)
         idx.ntotal = int(z["ntotal"])
-        extra = (-len(q8)) % cls.BLK
-        if extra:   # IVF stores pad to list_cap, not BLK: repad
-            q8 = np.concatenate(
-                [q8, np.zeros((extra, d), np.int8)])
-            scales = np.concatenate([scales, np.zeros(extra, np.float32)])
-            ids = np.concatenate([ids, np.full(extra, -1, np.int32)])
-        idx._publish(q8, scales, ids)
+        # IVF stores pad to list_cap, not BLK: repad
+        idx._publish(*_pad_sq8_store(q8, scales, ids, cls.BLK))
         return idx
 
     @staticmethod
@@ -1150,6 +1166,26 @@ _chunked_device_put = chunked_device_put
 
 
 # ---------------------------------------------------------------------------
+def cacheable_cls(index_type: str, nprobe: int = 40):
+    """(cls, load_kwargs) for index types whose built store persists to /
+    loads from an npz (the int8 family; quantize+ship is the hours-long
+    part at 100x scale). (None, None) for everything else. Lives next to
+    get_index so the name->class mapping has exactly one owner module
+    (tests assert the two stay consistent)."""
+    t = index_type.lower()
+    if t == "ivf-sq8":
+        return IVFSQ8Index, {"nprobe": nprobe}
+    if t in ("sq8", "sq8-flat"):
+        return SQ8FlatIndex, {}
+    if t == "sq8-sharded":
+        from nafp_tpu.search.sharded import ShardedSQ8FlatIndex
+        return ShardedSQ8FlatIndex, {}
+    if t == "ivf-sq8-sharded":
+        from nafp_tpu.search.sharded import ShardedIVFSQ8Index
+        return ShardedIVFSQ8Index, {"nprobe": nprobe}
+    return None, None
+
+
 def get_index(index_type: str, train_data: np.ndarray,
               max_train: int = int(1e7), nprobe: int = 40):
     """Index factory (counterpart of get_index, get_index_faiss.py:10-121).

@@ -149,13 +149,9 @@ class ShardedSQ8FlatIndex:
         """Shard a quantized store over the mesh, repadding so every shard
         is a whole number of kernel tiles (stores persisted by a different
         mesh size — or the single-device index — repad here)."""
+        from nafp_tpu.search.index import _pad_sq8_store
         R = self.mesh.size
-        extra = (-len(q8)) % (R * self.BLK)
-        if extra:
-            d = q8.shape[1]
-            q8 = np.concatenate([q8, np.zeros((extra, d), np.int8)])
-            scales = np.concatenate([scales, np.zeros(extra, np.float32)])
-            ids = np.concatenate([ids, np.full(extra, -1, np.int32)])
+        q8, scales, ids = _pad_sq8_store(q8, scales, ids, R * self.BLK)
         put = lambda a: jax.device_put(jnp.asarray(a),
                                        NamedSharding(self.mesh, P("data")))
         self.vecs8 = put(q8)

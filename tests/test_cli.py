@@ -119,3 +119,26 @@ def test_cacheable_covers_sharded_types():
             assert kw == {"nprobe": 64}
     cls, _ = _cacheable_cls("ivfpq", nprobe=64)
     assert cls is None          # PQ stores load via the extras runner path
+
+
+def test_cacheable_registry_consistent_with_factory(rng_seed=0):
+    """cacheable_cls and get_index share one module; every index type the
+    factory accepts that produces a load()-capable class must be declared
+    cacheable with that same class (guards the two from drifting apart)."""
+    import numpy as np
+    from nafp_tpu.search.index import cacheable_cls, get_index
+    rng = np.random.default_rng(rng_seed)
+    data = rng.standard_normal((1100, 16)).astype(np.float32)
+    data /= np.linalg.norm(data, axis=1, keepdims=True)
+    for t in ("l2", "ip", "ivf", "ivfpq", "ivfpq-rr", "ivf-sq8", "sq8",
+              "sq8-flat", "sq8-sharded", "ivf-sq8-sharded", "l2-sharded",
+              "hnsw"):
+        idx = get_index(t, data, max_train=256, nprobe=4)
+        cls, _ = cacheable_cls(t, nprobe=4)
+        if cls is not None:
+            assert isinstance(idx, cls), t
+        elif hasattr(type(idx), "load") and t not in ("ivfpq", "ivfpq-rr",
+                                                      "hnsw"):
+            # load()-capable types outside the documented exceptions must
+            # be registered cacheable (PQ/hnsw persist via their own paths)
+            raise AssertionError(f"{t} has load() but is not cacheable")

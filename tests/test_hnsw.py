@@ -78,6 +78,23 @@ def test_hnsw_load_missing_raises(tmp_path):
         HNSWIndex.load(str(tmp_path / "nope.hnsw"))
 
 
+def test_hnsw_load_rejects_oversized_n(rng, tmp_path):
+    """A store whose header n exceeds what the file can hold must fail with
+    the designed IOError, not a multi-GB resize whose bad_alloc aborts the
+    process (header layout: magic 8 + version 4 + hdr 20 + seed 8, then n
+    as int64 at byte 40)."""
+    db = _unit(rng, 200)
+    idx = HNSWIndex(d=64, m=16, ef_construction=40)
+    idx.add(db)
+    path = str(tmp_path / "graph.hnsw")
+    idx.save(path)
+    blob = bytearray(open(path, "rb").read())
+    blob[40:48] = (1 << 60).to_bytes(8, "little")
+    open(path, "wb").write(bytes(blob))
+    with pytest.raises(IOError):
+        HNSWIndex.load(path)
+
+
 def test_hnsw_parallel_add_matches_serial_recall(rng):
     """The lock-striped threaded bulk add must deliver the same recall as
     the serial build (levels are a per-id hash, so the level structure is

@@ -25,6 +25,19 @@ def test_flat_index_exact_topk(rng):
     np.testing.assert_array_equal(ids[:, 0], ids_ip[:, 0])
 
 
+def test_flat_l2_reroute_gate_is_relative(rng):
+    """The l2->fused-IP reroute fires only on genuinely equal-norm rows:
+    f32-normalized DBs qualify, a 0.1%-perturbed-norm DB must not (IP
+    ranking would silently diverge from the promised exact L2)."""
+    db = _unit(rng, 1000)
+    assert FlatIndex(db, metric="l2")._unit_norm
+    db2 = db * (1.0 + 1e-3 * rng.standard_normal(
+        (len(db), 1))).astype(np.float32)
+    assert not FlatIndex(db2, metric="l2")._unit_norm
+    # any SHARED norm qualifies, not just 1.0
+    assert FlatIndex(2.0 * db, metric="l2")._unit_norm
+
+
 def test_flat_index_blocked_equals_single(rng):
     db = _unit(rng, 2000)
     q = _unit(rng, 700)

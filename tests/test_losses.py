@@ -105,7 +105,10 @@ def _np_triplet(emb_a, emb_p, n_anchor, n_ppa, margin, mode):
     if mode == "all":
         return np.maximum(ap_d - d * an + margin, 0).mean()
     if mode == "hardest":
-        return np.maximum(ap_d.max(1) - (d * an).min(1) + margin, 0).mean()
+        # Fixed semantics: min over REAL negatives (the reference mins the
+        # mask-zeroed matrix, which is identically 0 — triplet.py fix #2).
+        an_d = np.where(an > 0, d, np.inf).min(1)
+        return np.maximum(ap_d.max(1) - an_d + margin, 0).mean()
     if mode == "semi-hard":
         h = ap_d.max(1, keepdims=True)
         return np.maximum((h - d + margin) * an, 0).mean()
@@ -113,6 +116,28 @@ def _np_triplet(emb_a, emb_p, n_anchor, n_ppa, margin, mode):
         return np.maximum(ap_d.sum(1) / ap.sum(1) -
                           (d * an).sum(1) / an.sum(1) + margin, 0).mean()
     raise NotImplementedError
+
+
+def test_triplet_hardest_negatives_matter(rng):
+    """Regression for triplet.py fix #2: pulling a negative closer to an
+    anchor must INCREASE the 'hardest' loss. Under the reference's
+    mask-zeroed min the negative term is identically 0 and this fails."""
+    n_anchor, n_ppa, dim = 4, 2, 16
+    emb_a = _unit_rows(rng, n_anchor, dim)
+    emb_p = _unit_rows(rng, n_anchor * n_ppa, dim)
+    base, _, _ = online_triplet_loss(
+        jnp.asarray(emb_a), jnp.asarray(emb_p),
+        n_anchor=n_anchor, n_pos_per_anchor=n_ppa, mode="hardest",
+        margin=2.5)  # margin > max distance so the hinge is always active
+    emb_p2 = emb_p.copy()
+    # replica of anchor 1 moved onto anchor 0 -> anchor 0's closest
+    # negative distance drops to ~0
+    emb_p2[1 * n_ppa] = emb_a[0]
+    closer, _, _ = online_triplet_loss(
+        jnp.asarray(emb_a), jnp.asarray(emb_p2),
+        n_anchor=n_anchor, n_pos_per_anchor=n_ppa, mode="hardest",
+        margin=2.5)
+    assert float(closer) > float(base)
 
 
 def test_triplet_all_modes_match_reference_math(rng):
