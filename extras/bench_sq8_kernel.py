@@ -150,9 +150,10 @@ def _kern_var(q_ref, db_ref, sc_ref, rm_ref, out_v_ref, out_i_ref,
 
 @functools.partial(jax.jit, static_argnames=("k", "blk", "scale_mode",
                                              "merge_mode", "int8_dot",
-                                             "interpret"))
+                                             "interpret", "vmem_mb"))
 def run_variant(q, vecs8, scales, rmask, k=20, blk=2048, scale_mode="slices",
-                merge_mode="v0", int8_dot=False, interpret=False):
+                merge_mode="v0", int8_dot=False, interpret=False,
+                vmem_mb=0):
     n, d = vecs8.shape
     bq = q.shape[0]
     ct = jnp.float32 if interpret else jnp.bfloat16
@@ -186,6 +187,8 @@ def run_variant(q, vecs8, scales, rmask, k=20, blk=2048, scale_mode="slices",
             flops=2 * bq * n * d,
             bytes_accessed=n * d + bq * d * 4 + 2 * n * 4,
             transcendentals=0),
+        compiler_params=(pltpu.CompilerParams(
+            vmem_limit_bytes=vmem_mb << 20) if vmem_mb else None),
         interpret=interpret,
     )(q_in, vecs8, scales.reshape(n // 128, 128),
       rmask.reshape(n // 128, 128))
@@ -224,6 +227,13 @@ def main():
     ap.add_argument("--k", type=int, default=20)
     ap.add_argument("--blk", type=int, default=2048)
     ap.add_argument("--reps", type=int, default=3)
+    ap.add_argument("--vmem_mb", type=int, default=0,
+                    help="raise the kernel's scoped-VMEM limit (MB); 0 = "
+                         "Mosaic default 16 MB. Big (bq, blk) tiles need "
+                         "this: three (bq, blk) f32 buffers coexist")
+    ap.add_argument("--variants", default="v2,bcast,int8",
+                    help="comma list of extra variants to time (empty = "
+                         "just dotonly + the shipped kernel)")
     ap.add_argument("--interpret", action="store_true",
                     help="CPU interpret-mode correctness check (tiny --n); "
                          "timings are meaningless")
@@ -264,18 +274,29 @@ def main():
         print(f"dotonly  {t*1e3:8.1f} ms   (MXU+stream floor)", flush=True)
         results["dotonly"] = t
 
-    t, ref0 = timed(topk_ip_sq8_pallas, q, vecs8, scales, rmask, k=k, blk=blk,
-                    interpret=args.interpret)
-    print(f"v0       {t*1e3:8.1f} ms   {bq/t:8.0f} QPS  (shipped kernel)",
-          flush=True)
-    results["v0"] = t
+    if args.vmem_mb or bq * blk * 4 > 4 * 2**20:
+        # shapes beyond the shipped kernel's VMEM cap: measure the same v3
+        # body through run_variant with a raised scoped-vmem limit
+        t, ref0 = timed(run_variant, q, vecs8, scales, rmask, k=k, blk=blk,
+                        interpret=args.interpret, vmem_mb=args.vmem_mb)
+        print(f"v3+vmem  {t*1e3:8.1f} ms   {bq/t:8.0f} QPS  "
+              f"(v3 body, vmem {args.vmem_mb} MB)", flush=True)
+        results["v3+vmem"] = t
+    else:
+        t, ref0 = timed(topk_ip_sq8_pallas, q, vecs8, scales, rmask, k=k,
+                        blk=blk, interpret=args.interpret)
+        print(f"v0       {t*1e3:8.1f} ms   {bq/t:8.0f} QPS  (shipped kernel)",
+              flush=True)
+        results["v0"] = t
     ids0 = ref0[1]
 
+    want = {v for v in args.variants.split(",") if v}
     variants = [
         ("v2", dict(scale_mode="slices", merge_mode="v2")),
         ("bcast", dict(scale_mode="bcast", merge_mode="v3")),
         ("int8", dict(scale_mode="slices", merge_mode="v3", int8_dot=True)),
     ]
+    variants = [(n, kw) for n, kw in variants if n in want]
     for name, kw in variants:
         try:
             t, ref = timed(run_variant, q, vecs8, scales, rmask, k=k,

@@ -283,7 +283,9 @@ class SQ8FlatIndex:
                block: int = 1024) -> Tuple[np.ndarray, np.ndarray]:
         q = np.asarray(q, np.float32)
         # the (block, BLK) f32 sim tile must fit the kernel's VMEM budget
-        block = min(block, (4 << 20) // (self.BLK * 4))
+        # (the kernel raises its scoped-vmem limit for tiles past 4 MB;
+        # 1024x2048 measured 9,880 QPS vs 512x2048's 7,780 @ 8.4 M, r4)
+        block = min(block, (16 << 20) // (self.BLK * 4))
         interpret = jax.default_backend() != "tpu"
         outs_d, outs_i = [], []
         for s in range(0, len(q), block):

@@ -309,10 +309,20 @@ def topk_ip_sq8_pallas(q: jax.Array, vecs8: jax.Array, scales: jax.Array,
     n, d = vecs8.shape
     bq = q.shape[0]
     assert n % blk == 0 and blk % 1024 == 0, (n, blk)
-    # two (Bq, BLK) f32 buffers coexist (sim + merge candidates): a
-    # 1024x2048 tile OOMed scoped vmem (21.2 MB > 16 MB) on v5e
-    assert bq * blk * 4 <= 4 * 2**20, \
+    # Several (Bq, BLK) f32 buffers coexist (sim + the merge's masked
+    # copies): a 1024x1024 tile measured 16.54 MB of scoped vmem against
+    # Mosaic's 16 MB default, so tiles past 4 MB raise the kernel's
+    # scoped-vmem limit instead (v5e has 128 MB physical VMEM; 6x the sim
+    # tile covers the measured footprint with margin — 48 MB ran clean at
+    # 1024x2048). Bigger query blocks amortize the HBM stream across more
+    # queries: @ 8.4 M rows v5e, 512x2048 = 7,780 QPS, 1024x2048 = 9,880,
+    # 2048x1024 = 10,040, 2048x2048 = 9,483 (same-day sweep, r4) —
+    # 1024x2048 is the shipped default (near-plateau at half the latency
+    # of 2048-query blocks).
+    tile = bq * blk * 4
+    assert tile <= 16 * 2**20, \
         f"sim tile {bq}x{blk} too large for VMEM; block the queries"
+    vmem_limit = None if tile <= 4 * 2**20 else min(6 * tile, 100 * 2**20)
     # bf16 q on the MXU; CPU XLA (interpret-mode tests) can't do
     # bf16×bf16→f32 dots, so interpret computes in f32
     ct = jnp.float32 if interpret else jnp.bfloat16
@@ -341,6 +351,8 @@ def topk_ip_sq8_pallas(q: jax.Array, vecs8: jax.Array, scales: jax.Array,
             flops=2 * bq * n * d,
             bytes_accessed=n * d + bq * d * 4 + 2 * n * 4,
             transcendentals=0),
+        compiler_params=(pltpu.CompilerParams(
+            vmem_limit_bytes=vmem_limit) if vmem_limit else None),
         interpret=interpret,
     )(q.astype(ct), vecs8,
       scales.reshape(n // 128, 128), rmask.reshape(n // 128, 128))

@@ -197,8 +197,9 @@ class ShardedSQ8FlatIndex:
 
     def search(self, q: np.ndarray, k: int,
                block: int = 1024) -> Tuple[np.ndarray, np.ndarray]:
-        # kernel VMEM budget: see the 4 MB sim-tile cap in pallas_topk
-        block = min(block, (4 << 20) // (self.BLK * 4))
+        # kernel VMEM budget: see the sim-tile cap in pallas_topk (the
+        # kernel raises its scoped-vmem limit for tiles past 4 MB)
+        block = min(block, (16 << 20) // (self.BLK * 4))
         if k not in self._search_jit:
             self._search_jit[k] = self._build(k)
         fn = self._search_jit[k]
