@@ -52,15 +52,17 @@ def sh(args, root: str) -> None:
           f"{time.perf_counter() - t0:.0f}s", flush=True)
 
 
-def stage_data(root: str, n_train: int, sec: float) -> None:
+def stage_data(root: str, n_train: int, sec: float,
+               n_dummy: int = 500) -> None:
     marker = os.path.join(root, "data.done.json")
-    want = {"n_train": n_train, "n_query": 500, "n_dummy": 500, "sec": sec}
+    want = {"n_train": n_train, "n_query": 500, "n_dummy": n_dummy,
+            "sec": sec}
     if os.path.exists(marker) and json.load(open(marker)) == want:
         print("[data] exists", flush=True)
         return
     from extras.make_synth_dataset import build
     t0 = time.perf_counter()
-    build(root, n_train=n_train, n_query=500, n_dummy=500, sec=sec)
+    build(root, n_train=n_train, n_query=500, n_dummy=n_dummy, sec=sec)
     print(f"[data] synthesized in {time.perf_counter() - t0:.0f}s", flush=True)
     with open(marker, "w") as f:
         json.dump(want, f)
@@ -104,6 +106,10 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--root", default="/tmp/nafp_conv")
     ap.add_argument("--n_train", type=int, default=1000)
+    ap.add_argument("--n_dummy", type=int, default=500,
+                    help="dummy-db songs; 10000 = the reference's "
+                         "Dataset-mini scale (its config/default.yaml:19-31 "
+                         "TEST_DUMMY_DB '10k_full')")
     ap.add_argument("--sec", type=float, default=30.0)
     ap.add_argument("--epochs", type=int, default=100)
     ap.add_argument("--index", default="l2")
@@ -133,7 +139,7 @@ def main() -> None:
             "default": "convdef"}[args.recipe] + args.tag
 
     if "data" in stages:
-        stage_data(args.root, args.n_train, args.sec)
+        stage_data(args.root, args.n_train, args.sec, n_dummy=args.n_dummy)
     if "config" in stages:
         stage_config(args.root, args.epochs, args.recipe, name,
                      margin=args.margin, mining_mode=args.mining_mode)

@@ -127,7 +127,12 @@ class Dataset:
     def get_train_ds(self, reduce_items_p: int = 0) -> SegmentLoader:
         if self.datasel_train != "10k_icassp":
             raise NotImplementedError(self.datasel_train)
-        fps = _glob_wavs(self.source_root_dir, "train-10k-30s/**/*.wav")
+        from nafp_tpu.parallel.mesh import process_shard
+        # Multi-host: each process loads its round-robin shard of the song
+        # list and feeds 1/nproc of the global batch (single-process:
+        # identity). See parallel/mesh.py multi-host scope note.
+        fps = process_shard(
+            _glob_wavs(self.source_root_dir, "train-10k-30s/**/*.wav"))
         return SegmentLoader(
             fns_event_list=fps, bsz=self.tr_batch_sz,
             n_anchor=self.tr_n_anchor, duration=self.dur, hop=self.hop,
@@ -138,8 +143,11 @@ class Dataset:
             song_cache_bytes=self.song_cache_bytes)
 
     def get_val_ds(self, max_song: int = 500) -> SegmentLoader:
-        fps = _glob_wavs(self.source_root_dir,
-                         "val-query-db-500-30s/**/*.wav")[:max_song]
+        from nafp_tpu.parallel.mesh import process_shard
+        # sharded AFTER the max_song cut so the global val set matches the
+        # single-host run's, split disjointly across hosts
+        fps = process_shard(_glob_wavs(
+            self.source_root_dir, "val-query-db-500-30s/**/*.wav")[:max_song])
         return SegmentLoader(
             fns_event_list=fps, bsz=self.val_batch_sz,
             n_anchor=self.val_n_anchor, duration=self.dur, hop=self.hop,

@@ -23,9 +23,11 @@ all offsets/shuffles/aug pairings, so the two paths consume one RNG
 stream in one order and the produced batches are identical (tested,
 ``tests/test_device_corpus.py``).
 
-Scope: one corpus per host process, replicated across the local mesh. On
-a multi-host pod each host holds its own shard of the song list (the data
-axis already shards batches), so the per-host HBM bound applies to the
+Scope: one corpus per host process, replicated across the process's
+addressable devices. On a multi-host pod each host holds its own shard of
+the song list — implemented by ``parallel.mesh.process_shard`` in the
+catalog's train/val loaders and exercised by the 2-process CPU run in
+``tests/test_multihost.py`` — so the per-host HBM bound applies to the
 host's shard, not the global corpus.
 """
 from __future__ import annotations

@@ -229,9 +229,11 @@ def mini_search_validation(ds, params, test_step, aug_fn=None,
     """Build a mini DB/query from validation batches and run retrieval at
     three taps f / L2(f) / g(f) (reference trainer.py:80-108).
 
-    ``aug_fn(replicas, bg, ir, key) -> replicas`` applies the validation
-    TD-augmentation so queries are degraded replicas like the reference's
-    (whose val loader mixes bg/IR in its workers).
+    ``aug_fn(replicas, bg, ir, key, speech=None) -> replicas`` applies the
+    validation TD-augmentation so queries are degraded replicas like the
+    reference's (whose val workers mix ALL enabled sources — bg, IR and
+    speech, dataloader_keras.py:231-299; with VAL_SPEECH_AUG on, speech
+    must corrupt the mini-search queries too, not just the val loss).
     """
     keys = ("f", "L2(f)", "g(f)")
     n_iter = max(1, min(len(ds), max_n_samples // ds.bsz))
@@ -243,7 +245,9 @@ def mini_search_validation(ds, params, test_step, aug_fn=None,
         if aug_fn is not None:
             xp = aug_fn(xp, jnp.asarray(b["bg"]) if "bg" in b else None,
                         jnp.asarray(b["ir"]) if "ir" in b else None,
-                        jax.random.PRNGKey(i))
+                        jax.random.PRNGKey(i),
+                        speech=(jnp.asarray(b["speech"])
+                                if "speech" in b else None))
         x = jnp.concatenate([jnp.asarray(b["anchors"]), xp], axis=0)
         f, f_l2, gf = test_step(params, x)
         emb = dict(zip(keys, (f, f_l2, gf)))
@@ -263,26 +267,68 @@ def mini_search_validation(ds, params, test_step, aug_fn=None,
     return accs_by_scope, list(scopes), list(keys)
 
 
+def _replicate(tree, mesh: Mesh):
+    """Replicate host/device values across the (possibly multi-host) mesh.
+    Single-process this is a plain device_put; multi-host builds global
+    fully-replicated arrays from each process's identical host copy."""
+    rep = NamedSharding(mesh, P())
+    if jax.process_count() <= 1:
+        return jax.device_put(tree, rep)
+    return jax.tree_util.tree_map(
+        lambda x: jax.make_array_from_callback(
+            np.shape(x), rep,
+            functools.partial(lambda v, idx: np.asarray(v)[idx], x)),
+        tree)
+
+
+def _put_global(x, sh: NamedSharding):
+    """Host value -> mesh-global array. Single-process: a device_put; on a
+    multi-host run each process contributes its local rows of the data
+    axis (``jax.make_array_from_process_local_data`` assembles the global
+    batch from per-host shards — the per-process song-list sharding in
+    the catalog guarantees hosts feed disjoint data)."""
+    if jax.process_count() > 1:
+        return jax.make_array_from_process_local_data(sh, np.asarray(x))
+    return jax.device_put(jnp.asarray(x), sh)
+
+
 def _device_batch(batch, mesh: Mesh):
     """Ship a host batch to the mesh with batch-dim sharding."""
     sh = NamedSharding(mesh, P("data"))
     out = {}
     for k in ("anchors", "replicas", "bg", "ir", "speech"):
         if k in batch:
-            out[k] = jax.device_put(jnp.asarray(batch[k]), sh)
+            out[k] = _put_global(batch[k], sh)
     # shard_map in_specs expect every key; supply zero stand-ins
+    n_rep = np.shape(batch["replicas"])[0]
+    rep_t = np.shape(batch["replicas"])[-1]
     if "bg" not in out:
-        out["bg"] = jax.device_put(jnp.zeros_like(out["replicas"]), sh)
+        out["bg"] = _put_global(np.zeros((n_rep, rep_t), np.float32), sh)
     if "speech" not in out:
-        out["speech"] = jax.device_put(jnp.zeros_like(out["replicas"]), sh)
+        out["speech"] = _put_global(np.zeros((n_rep, rep_t), np.float32), sh)
     if "ir" not in out:
-        z = jnp.zeros((out["replicas"].shape[0], MAX_IR_LENGTH), jnp.float32)
-        out["ir"] = jax.device_put(z, sh)
+        out["ir"] = _put_global(np.zeros((n_rep, MAX_IR_LENGTH), np.float32),
+                                sh)
     return out
 
 
 def trainer(cfg: Dict[str, Any], checkpoint_name: str) -> None:
     """The epoch loop (reference trainer.py:111-230)."""
+    from nafp_tpu.parallel.mesh import maybe_init_distributed
+    maybe_init_distributed(cfg)
+    nproc = jax.process_count()
+    if nproc > 1:
+        # BSZ keys are the GLOBAL batch; each process loads 1/nproc of it
+        # from its own song-list shard (catalog.get_train_ds/get_val_ds).
+        b = dict(cfg["BSZ"])
+        for k in ("TR_BATCH_SZ", "TR_N_ANCHOR", "VAL_BATCH_SZ",
+                  "VAL_N_ANCHOR"):
+            if b[k] % nproc:
+                raise ValueError(f"BSZ.{k}={b[k]} not divisible by "
+                                 f"{nproc} processes")
+            b[k] = b[k] // nproc
+        cfg = {**cfg, "BSZ": b}
+    lead = jax.process_index() == 0
     dataset = Dataset(cfg)
     mesh = mesh_from_cfg(cfg)
     bn_axis = "data" if mesh.size > 1 else None
@@ -290,7 +336,16 @@ def trainer(cfg: Dict[str, Any], checkpoint_name: str) -> None:
     print(f"[trainer] mesh: {mesh.shape} on {jax.devices()[0].platform}")
 
     train_ds = dataset.get_train_ds(cfg["DATA_SEL"]["REDUCE_ITEMS_P"])
-    total_steps = int(cfg["TRAIN"]["MAX_EPOCH"]) * len(train_ds)
+    # Per-epoch step count every process agrees on: song-list shards can
+    # differ by a batch, and a straggler entering a collective the others
+    # skipped deadlocks the mesh. (Single-process: just len(train_ds).)
+    steps_per_epoch = len(train_ds)
+    val_steps = None
+    if nproc > 1:
+        from jax.experimental import multihost_utils
+        steps_per_epoch = int(multihost_utils.process_allgather(
+            np.int32(steps_per_epoch)).min())
+    total_steps = int(cfg["TRAIN"]["MAX_EPOCH"]) * steps_per_epoch
     optimizer = build_optimizer(cfg, total_steps)
 
     # Optional device-resident corpus (DEVICE.DEVICE_CORPUS): songs live in
@@ -316,8 +371,7 @@ def trainer(cfg: Dict[str, Any], checkpoint_name: str) -> None:
     state = TrainState(restored["params"], restored["opt_state"],
                        restored["step"])
     # Replicate state across the mesh.
-    rep = NamedSharding(mesh, P())
-    state = jax.device_put(state, rep)
+    state = _replicate(state, mesh)
 
     def _aug_keys(ds):
         return frozenset(k for k, flag in (("bg", ds.bg_mix),
@@ -326,6 +380,11 @@ def trainer(cfg: Dict[str, Any], checkpoint_name: str) -> None:
 
     val_ds = maybe_device_loader(dataset.get_val_ds(max_song=250), cfg,
                                  label="val corpus")
+    val_steps = len(val_ds)
+    if nproc > 1:
+        from jax.experimental import multihost_utils
+        val_steps = int(multihost_utils.process_allgather(
+            np.int32(val_steps)).min())
     train_step = make_train_step(cfg, melspec_fn, specaug_fn, model,
                                  optimizer, mesh, aug_keys=_aug_keys(train_ds))
     val_step = make_val_step(cfg, melspec_fn, specaug_fn, model, mesh,
@@ -336,7 +395,8 @@ def trainer(cfg: Dict[str, Any], checkpoint_name: str) -> None:
         augment_replicas,
         snr_range=tuple(cfg["TD_AUG"]["VAL_SNR"]),
         use_bg=bool(cfg["TD_AUG"]["VAL_BG_AUG"]),
-        use_ir=bool(cfg["TD_AUG"]["VAL_IR_AUG"])))
+        use_ir=bool(cfg["TD_AUG"]["VAL_IR_AUG"]),
+        use_speech=bool(cfg["TD_AUG"].get("VAL_SPEECH_AUG", False))))
 
     base_key = jax.random.PRNGKey(int(cfg["TRAIN"].get("SEED", 0)))
     ep_max = int(cfg["TRAIN"]["MAX_EPOCH"])
@@ -354,40 +414,56 @@ def trainer(cfg: Dict[str, Any], checkpoint_name: str) -> None:
         if prof_ctx:
             prof_ctx.__enter__()
         for i, batch in enumerate(prefetch(train_ds)):
+            if i >= steps_per_epoch:
+                break
             key = jax.random.fold_in(base_key, host_step)
+            if nproc > 1:
+                key = _replicate(key, mesh)
             db = _device_batch(batch, mesh)
             state, loss, sim = train_step(state, db, key)
             host_step += 1
             losses.append(loss)
             timer.tick()
-            if i % 50 == 0:
-                print(f"  step {i}/{len(train_ds)} tr_loss "
+            if i % 50 == 0 and lead:
+                print(f"  step {i}/{steps_per_epoch} tr_loss "
                       f"{float(loss):.4f} step {timer.step_ms:.0f} ms",
                       end="\r")
         if prof_ctx:
             prof_ctx.__exit__(None, None, None)
         tr_loss = (float(jnp.mean(jnp.stack(losses)))
                    if losses else float("nan"))
-        helper.log_scalar("loss/train", tr_loss, ep)
-        if timer.ema_dt:
-            helper.log_scalar("throughput/segments_per_sec",
-                              timer.items_per_sec(train_ds.bsz), ep)
-            helper.log_scalar("throughput/step_ms", timer.step_ms, ep)
-        if cfg["TRAIN"].get("SAVE_IMG") and sim is not None and len(sim):
+        if lead:
+            helper.log_scalar("loss/train", tr_loss, ep)
+            if timer.ema_dt:
+                helper.log_scalar("throughput/segments_per_sec",
+                                  timer.items_per_sec(train_ds.bsz * nproc),
+                                  ep)
+                helper.log_scalar("throughput/step_ms", timer.step_ms, ep)
+        # sim is P('data')-sharded; fetching it needs every shard
+        # addressable, which only holds single-process.
+        if (nproc == 1 and cfg["TRAIN"].get("SAVE_IMG")
+                and sim is not None and len(sim)):
             helper.log_sim_images("tr_sim_mtx", np.asarray(sim), ep)
 
         # Validation (no specaug; TD-aug per VAL_* flags — reference :201-213)
         val_losses = []
         for i, batch in enumerate(prefetch(val_ds)):
+            if i >= val_steps:
+                break
             key = jax.random.fold_in(base_key, 1_000_000 + ep * 10_000 + i)
+            if nproc > 1:
+                key = _replicate(key, mesh)
             db = _device_batch(batch, mesh)
             loss, sim = val_step(state.params, db, key)
             val_losses.append(float(loss))
         val_loss = float(np.mean(val_losses)) if val_losses else float("nan")
-        helper.log_scalar("loss/val", val_loss, ep)
-        if cfg["TRAIN"].get("SAVE_IMG") and sim is not None and len(sim):
+        if lead:
+            helper.log_scalar("loss/val", val_loss, ep)
+        if (nproc == 1 and cfg["TRAIN"].get("SAVE_IMG")
+                and sim is not None and len(sim)):
             helper.log_sim_images("val_sim_mtx", np.asarray(sim), ep)
-        print(f"tr_loss:{tr_loss:.4f}, val_loss:{val_loss:.4f}")
+        if lead:
+            print(f"tr_loss:{tr_loss:.4f}, val_loss:{val_loss:.4f}")
 
         # TRAIN.CHECKPOINT_INTERVAL (epochs, default 1 = reference parity:
         # save every epoch). A checkpoint fetches params+opt state to host;
@@ -398,11 +474,18 @@ def trainer(cfg: Dict[str, Any], checkpoint_name: str) -> None:
                              "opt_state": state.opt_state,
                              "step": state.step})
 
-        if cfg["TRAIN"].get("MINI_TEST_IN_TRAIN"):
+        if cfg["TRAIN"].get("MINI_TEST_IN_TRAIN") and nproc > 1:
+            if lead:
+                print("[trainer] MINI_TEST_IN_TRAIN skipped on multi-host "
+                      "(test_step jits process-local arrays; run the "
+                      "monitor offline via evaluate instead)")
+        elif cfg["TRAIN"].get("MINI_TEST_IN_TRAIN"):
             accs_by_scope, scopes, key_strs = mini_search_validation(
                 val_ds, state.params, test_step,
-                aug_fn=lambda xp, bg, ir, k: val_aug(xp, bg, ir, k)
-                if bg is not None or ir is not None else xp)
+                aug_fn=lambda xp, bg, ir, k, speech=None:
+                val_aug(xp, bg, ir, k, speech=speech)
+                if (bg is not None or ir is not None
+                    or speech is not None) else xp)
             for k in key_strs:
                 helper.update_minitest_acc(accs_by_scope[k], scopes, k, ep)
     helper.close()

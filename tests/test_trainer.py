@@ -361,6 +361,62 @@ def test_train_step_triplet_mining_mode_knob(tiny_cfg):
     assert losses["semi-hard"] != losses["hardest"]
 
 
+def test_minisearch_val_speech_aug_reaches_queries(tiny_cfg, monkeypatch):
+    """With VAL_SPEECH_AUG on, the mini-search queries must be speech-
+    corrupted — the reference's val workers mix ALL enabled sources
+    (dataloader_keras.py:231-299), so the in-training retrieval monitor
+    and the val loss must see the same corruption model (VERDICT r4
+    weak #1)."""
+    import functools
+
+    from nafp_tpu.data.catalog import Dataset
+    from nafp_tpu.ops.tdaug import augment_replicas
+    from nafp_tpu.train import trainer as T
+
+    root = os.path.dirname(tiny_cfg["DIR"]["BG_ROOT_DIR"].rstrip("/"))
+    for i in range(2):  # dev/ split backs VAL_SPEECH_AUG
+        _write_wav(f"{root}/speech/dev/{i}.wav", 4.0, 137 + 50 * i)
+
+    cfg = {k: (dict(v) if isinstance(v, dict) else v)
+           for k, v in tiny_cfg.items()}
+    cfg["DIR"]["SPEECH_ROOT_DIR"] = f"{root}/speech/"
+    cfg["TD_AUG"].update(VAL_SPEECH_AUG=True, VAL_BG_AUG=True,
+                         VAL_IR_AUG=False)
+    melspec_fn, _, model, mcfg = _small_model_fp(cfg)
+    params = T.init_params(cfg, model, mcfg)
+    test_step = T.make_test_step(melspec_fn, model)
+    val_ds = Dataset(cfg).get_val_ds()
+    assert val_ds.speech_mix, "val loader must carry speech batches"
+    assert "speech" in val_ds[0]
+
+    captured = []
+    real_eval = T.mini_search_eval
+
+    def spy(q, d, **kw):
+        captured.append(np.asarray(q))
+        return real_eval(q, d, **kw)
+
+    monkeypatch.setattr(T, "mini_search_eval", spy)
+
+    def run(use_speech):
+        captured.clear()
+        val_aug = jax.jit(functools.partial(
+            augment_replicas, snr_range=tuple(cfg["TD_AUG"]["VAL_SNR"]),
+            use_bg=True, use_ir=False, use_speech=use_speech))
+        T.mini_search_validation(
+            val_ds, params, test_step,
+            aug_fn=lambda xp, bg, ir, k, speech=None:
+            val_aug(xp, bg, ir, k, speech=speech),
+            display=False)
+        return [c.copy() for c in captured]
+
+    q_no_speech = run(False)
+    q_speech = run(True)
+    # same PRNG keys, same bg -> any difference comes from the speech mix
+    assert any(not np.array_equal(a, b)
+               for a, b in zip(q_no_speech, q_speech))
+
+
 def test_full_trainer_loop_triplet(tiny_cfg, monkeypatch):
     """trainer() end-to-end with LOSS.LOSS_MODE='Online-Triplet' — the
     val loop uses mode 'all' margin 0 like the reference (trainer.py:165-169)."""
