@@ -113,6 +113,8 @@ def stage_build(root: str, out: dict, index: str = "ivf-sq8",
     rerun after a timeout) skip the ~hours-long streamed add."""
     if index == "ivfpq":
         return _build_ivfpq(root, out, pq_decode=pq_decode)
+    if index == "ivfpq-rr":
+        return _build_ivfpq_rr(root, out, pq_decode=pq_decode)
     if index == "sq8":
         return _build_sq8(root, out)
     from nafp_tpu.search.index import IVFSQ8Index
@@ -235,6 +237,22 @@ def _build_ivfpq(root: str, out: dict, pq_decode: str = "f32"):
     out.update(index="ivfpq", nlist=idx.nlist, m=idx.m,
                pq_decode=pq_decode, train_sec=round(t_train, 1),
                add_sec=round(t_add, 1))
+    return idx
+
+
+def _build_ivfpq_rr(root: str, out: dict, pq_decode: str = "f32"):
+    """ivfpq-rr = the persisted ivfpq store + the raw f32 vectors shipped
+    for the exact re-rank stage (refine stores are not persisted — the
+    raw vectors dominate the npz — but the CODES half caches fine, so a
+    cached run pays only the raw-vector ship, not retrain+re-add)."""
+    from nafp_tpu.search.index import _chunked_device_put
+    idx = _build_ivfpq(root, out, pq_decode=pq_decode)
+    mm = load_mm(root)
+    t0 = time.perf_counter()
+    idx.raw = _chunked_device_put(np.asarray(mm, np.float32))
+    idx.refine = True
+    out.update(index="ivfpq-rr",
+               raw_ship_sec=round(time.perf_counter() - t0, 1))
     return idx
 
 

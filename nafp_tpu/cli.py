@@ -123,11 +123,14 @@ def generate(checkpoint_name, checkpoint_index, config, source, output,
               help="npz path for the built int8-family store (ivf-sq8/sq8/"
                    "sharded twins): loaded when present, written after a "
                    "fresh build — skips the hours-long 100x-scale add.")
+@click.option("--ef_search", default=64, type=click.INT,
+              help="Query-time beam width for the hnsw index (default 64, "
+                   "the faiss-equivalent); ignored by other families.")
 @click.option("--nogpu", default=False, is_flag=True,
               help="Run the search on CPU devices (parity flag).")
 def evaluate(checkpoint_name, checkpoint_index, config, index_type,
              test_seq_len, test_ids, emb_dummy_dir, nprobe, k_probe,
-             max_train, index_cache, nogpu):
+             max_train, index_cache, ef_search, nogpu):
     """Run the ICASSP retrieval protocol over generated fingerprints.
 
     Searches query segments against dummy_db+db and reports top1-exact/
@@ -145,7 +148,7 @@ def evaluate(checkpoint_name, checkpoint_index, config, index_type,
                       index_type=index_type, test_ids=test_ids,
                       test_seq_len=test_seq_len, k_probe=k_probe,
                       max_train=max_train, nprobe=nprobe,
-                      index_cache=index_cache)
+                      index_cache=index_cache, ef_search=ef_search)
 
 
 if __name__ == "__main__":

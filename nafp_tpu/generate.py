@@ -12,9 +12,18 @@ are static-shaped (the loader zero-pads the final batch and reports
 synthesis the time-domain augmentation runs on-device before
 fingerprinting, replacing the reference's CPU-side doubled-batch trick
 (``dataset.py:268-303``).
+
+On a multi-chip mesh the fingerprint pass is sharded over ``('data',)``
+like the train step (reference ``model/generate.py:170-180`` ran its pass
+on one GPU): params replicated, batch rows split across chips, rows padded
+up to a mesh multiple host-side (the pad rows land past ``n_valid`` so the
+memmap write never sees them). Verified memmap-equal to the single-device
+pass in ``__graft_entry__.dryrun_multichip`` and
+``tests/test_sharded_search.py``.
 """
 from __future__ import annotations
 
+import functools
 import os
 import sys
 from typing import Any, Dict, Optional
@@ -103,7 +112,26 @@ def generate_fingerprint(cfg: Dict[str, Any],
     if not skip_dummy and not source_root_dir and not assume_yes:
         prevent_overwrite("dummy_db", os.path.join(out_dir, "dummy_db.mm"))
 
-    @jax.jit
+    from nafp_tpu.parallel.mesh import (batch_sharding, mesh_from_cfg,
+                                        replicated_sharding)
+    mesh = mesh_from_cfg(cfg)
+    nd = mesh.size
+    rep, shd = replicated_sharding(mesh), batch_sharding(mesh)
+    if nd > 1:
+        print(f"[generate] sharding fingerprint pass over {nd} devices")
+        params = jax.device_put(params, rep)
+
+    def _pad_rows(x):
+        """Pad batch rows up to a mesh multiple (host-side, static per
+        loader so there is still exactly one compilation)."""
+        r = (-np.shape(x)[0]) % nd
+        if not r:
+            return jnp.asarray(x)
+        return jnp.concatenate(
+            [jnp.asarray(x),
+             jnp.zeros((r,) + np.shape(x)[1:], jnp.asarray(x).dtype)])
+
+    @functools.partial(jax.jit, in_shardings=(rep, shd), out_shardings=shd)
     def fp_step(p, x):
         return model.apply(p, melspec_fn(x), train=False)
 
@@ -111,7 +139,8 @@ def generate_fingerprint(cfg: Dict[str, Any],
     use_bg = bool(cfg["TD_AUG"]["TS_BG_AUG"])
     use_ir = bool(cfg["TD_AUG"]["TS_IR_AUG"])
 
-    @jax.jit
+    @functools.partial(jax.jit, in_shardings=(rep, shd, shd, shd, rep),
+                       out_shardings=shd)
     def fp_step_syn(p, replicas, bg, ir, key):
         xq = augment_replicas(replicas, bg, ir, key, snr,
                               use_bg=use_bg, use_ir=use_ir)
@@ -130,16 +159,18 @@ def generate_fingerprint(cfg: Dict[str, Any],
         row = 0
         for i, batch in enumerate(prefetch(loader)):
             if synth:
-                emb = fp_step_syn(params, jnp.asarray(batch["replicas"]),
-                                  jnp.asarray(batch["bg"]) if "bg" in batch
-                                  else jnp.zeros_like(batch["replicas"]),
-                                  jnp.asarray(batch["ir"]) if "ir" in batch
-                                  else jnp.zeros((batch["replicas"].shape[0],
-                                                  MAX_IR_LENGTH), jnp.float32),
+                n_rep = np.shape(batch["replicas"])[0]
+                emb = fp_step_syn(params, _pad_rows(batch["replicas"]),
+                                  _pad_rows(batch["bg"]) if "bg" in batch
+                                  else _pad_rows(jnp.zeros_like(
+                                      jnp.asarray(batch["replicas"]))),
+                                  _pad_rows(batch["ir"]) if "ir" in batch
+                                  else _pad_rows(jnp.zeros(
+                                      (n_rep, MAX_IR_LENGTH), jnp.float32)),
                                   jax.random.PRNGKey(i))
                 n_valid = int(batch["n_valid"]) * max(1, loader.n_pos_per_anchor)
             else:
-                emb = fp_step(params, jnp.asarray(batch["anchors"]))
+                emb = fp_step(params, _pad_rows(batch["anchors"]))
                 n_valid = int(batch["n_valid"])
             arr[row:row + n_valid] = np.asarray(emb[:n_valid], np.float32)
             row += n_valid

@@ -205,13 +205,18 @@ def eval_fingerprints(emb_dir: str,
                       nprobe: int = 40,
                       display_interval: int = 10,
                       seed: int = 42,
-                      index_cache: Optional[str] = None) -> np.ndarray:
+                      index_cache: Optional[str] = None,
+                      ef_search: int = 64) -> np.ndarray:
     """Run the full search experiment; returns hit-rate matrix
     (4, n_seq_len) in percent and writes raw_score.npy / test_ids.npy /
     eval_summary.json.
 
     ``nprobe``: probed coarse lists for the IVF family (reference default
     40, ``get_index_faiss.py:120``); ignored by exact indexes.
+
+    ``ef_search``: query-time beam width for the hnsw index (every
+    published recall point is now reachable from the CLI); ignored by the
+    other families.
 
     ``index_cache``: npz path for the built int8-family store (ivf-sq8 /
     sq8 / the sharded twins) — loaded when present (skipping the
@@ -241,7 +246,7 @@ def eval_fingerprints(emb_dir: str,
             print(f"ignoring unreadable index cache {index_cache}: {e}")
     if index is None:
         index = get_index(index_type, full_db, max_train=max_train,
-                          nprobe=nprobe)
+                          nprobe=nprobe, ef_search=ef_search)
         if hasattr(index, "add") and index.ntotal == 0:
             if index_cache and cache_cls is not None:
                 index.add(full_db, persist_path=index_cache)
@@ -254,13 +259,18 @@ def eval_fingerprints(emb_dir: str,
           f"({t_build:.2f}s)")
     # Raw vectors for sequence rescoring: device-resident when they fit
     # comfortably in HBM, host (memmap-backed) gather otherwise — the 100x
-    # protocol (53.6M x 128 f32 = 27 GB) cannot live on one chip.
-    device_recon_limit = 4 << 30
+    # protocol (53.6M x 128 f32 = 27 GB) cannot live on one chip. The
+    # budget is live headroom (half the free HBM AFTER the index store was
+    # built, via device_memory_stats), not a constant, so a device-heavy
+    # index shrinks it automatically; 4 GiB is the no-stats fallback.
+    from nafp_tpu.utils.device import device_recon_budget
+    device_recon_limit = device_recon_budget()
     recon_dev = (jnp.asarray(full_db)
                  if full_db.nbytes <= device_recon_limit else None)
     if recon_dev is None:
         print(f"recon array {full_db.nbytes / 2**30:.1f} GiB > "
-              f"{device_recon_limit / 2**30:.0f} GiB: host-side rescoring")
+              f"budget {device_recon_limit / 2**30:.1f} GiB: "
+              "host-side rescoring")
 
     # test ids (eval_faiss.py:177-186)
     query = np.asarray(query, np.float32)

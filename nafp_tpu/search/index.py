@@ -721,6 +721,40 @@ class IVFPQIndex:
     # chunk stays ~512 MB (tests shrink it to exercise multi-chunk merging)
     CHUNK_ROWS = 1 << 21
 
+    # Probe-pruned decode (small-query latency regime). The chunk-major
+    # loop decodes 100% of the DB per search call; faiss scans only probed
+    # lists. Traffic math: the union of probed lists over nq queries
+    # covers an expected 1-(1-nprobe/nlist)^nq of the DB — at the
+    # reference's nlist 256 / nprobe 40 that is 15.6% for nq=1 but
+    # already 99.7% at nq=32, so batch searches (the eval protocol,
+    # nq 2048) gain nothing and stay on the straight linear scan. When
+    # measured coverage is below PRUNE_COVERAGE the search instead
+    # gathers just the probed subtiles into a compacted copy (a device
+    # take at LIST_TILE granularity — traffic ~ 2x the gathered bytes,
+    # far below the decode it avoids) and runs the identical
+    # decode+score+merge loop over it; pad slots carry list id -1 so the
+    # existing filler-subtile masking drops them. Gather sizes are
+    # rounded up to a power of two of BLK-sized units to bound the
+    # number of compiled shapes.
+    PRUNE_COVERAGE = 0.5
+    prune = True
+
+    def _gather_pruned(self, needed: np.ndarray, lt: int):
+        """Compact the probed subtiles; returns (codes, ids, sub_list,
+        n_rows) views equivalent to the full arrays for scan purposes."""
+        sub_idx = np.where(needed)[0].astype(np.int32)
+        unit = self.BLK // lt
+        n_units = max(1, -(-len(sub_idx) // unit))
+        n_units = 1 << (n_units - 1).bit_length()       # next pow2
+        n_pad = min(n_units * unit, max(self.n_pad // lt, unit))
+        if n_pad * lt >= self.n_pad:                    # nothing to save
+            return self.codes, self.ids, self.sub_list, self.n_pad
+        sub_idx = np.pad(sub_idx, (0, n_pad - len(sub_idx)),
+                         constant_values=-1)
+        c, i, s = _pq_gather_subtiles(self.codes, self.ids, self.sub_list,
+                                      jnp.asarray(sub_idx), lt=lt)
+        return c, i, s, n_pad * lt
+
     def search(self, q: np.ndarray, k: int, block: int = 512,
                chunk_rows: Optional[int] = None
                ) -> Tuple[np.ndarray, np.ndarray]:
@@ -763,14 +797,26 @@ class IVFPQIndex:
                 "v": jnp.full((len(blk), keep), -jnp.inf),
                 "i": jnp.full((len(blk), keep), -1, jnp.int32),
             })
-        for cs in range(0, self.n_pad, chunk):
-            ce = min(cs + chunk, self.n_pad)
-            sub_c = jax.lax.dynamic_slice_in_dim(self.sub_list, cs // lt,
+        codes_v, ids_v, sub_v, n_scan = (self.codes, self.ids,
+                                         self.sub_list, self.n_pad)
+        if self.prune:
+            probed = None
+            for b in blocks:
+                pa = np.asarray(_pq_probed_lists(b["bias"]))
+                probed = pa if probed is None else (probed | pa)
+            needed = np.asarray(_pq_sub_needed(jnp.asarray(probed),
+                                               self.sub_list))
+            if needed.mean() <= self.PRUNE_COVERAGE:
+                codes_v, ids_v, sub_v, n_scan = self._gather_pruned(
+                    needed, lt)
+        for cs in range(0, n_scan, chunk):
+            ce = min(cs + chunk, n_scan)
+            sub_c = jax.lax.dynamic_slice_in_dim(sub_v, cs // lt,
                                                  (ce - cs) // lt)
             dec = self._decode_chunk(
-                jax.lax.dynamic_slice_in_dim(self.codes, cs, ce - cs),
+                jax.lax.dynamic_slice_in_dim(codes_v, cs, ce - cs),
                 sub_c)
-            ids_c = jax.lax.dynamic_slice_in_dim(self.ids, cs, ce - cs)
+            ids_c = jax.lax.dynamic_slice_in_dim(ids_v, cs, ce - cs)
             for b in blocks:
                 bias_c = _pq_expand_bias(b["bias"], sub_c)
                 if use_pallas:
@@ -858,6 +904,37 @@ def _pq_expand_bias(bias_list, sub_chunk):
     from nafp_tpu.search.pallas_topk import NEG
     b = jnp.take(bias_list, jnp.maximum(sub_chunk, 0), axis=1)
     return jnp.where(sub_chunk[None, :] < 0, NEG, b)
+
+
+@jax.jit
+def _pq_probed_lists(bias_list):
+    """(nq, nlist) additive bias -> (nlist,) bool: any query probes it."""
+    from nafp_tpu.search.pallas_topk import NEG
+    return jnp.any(bias_list > NEG / 2, axis=0)
+
+
+@jax.jit
+def _pq_sub_needed(probed, sub_list):
+    """(nlist,) probed bitmap -> (n_sub,) bool per subtile (filler
+    subtiles, list -1, are never needed)."""
+    return jnp.take(probed, jnp.maximum(sub_list, 0)) & (sub_list >= 0)
+
+
+@functools.partial(jax.jit, static_argnames=("lt",))
+def _pq_gather_subtiles(codes, ids, sub_list, sub_idx, *, lt):
+    """Compact probed subtiles into contiguous arrays (device take at
+    LIST_TILE granularity). Pad slots (sub_idx -1) clamp their gather to
+    subtile 0 — the garbage codes/ids there are dead because their list
+    id is forced to -1, which the bias expansion masks to NEG exactly
+    like the store's own filler subtiles."""
+    n_sub, m = sub_list.shape[0], codes.shape[1]
+    safe = jnp.maximum(sub_idx, 0)
+    c = jnp.take(codes.reshape(n_sub, lt * m), safe, axis=0,
+                 mode="clip").reshape(-1, m)
+    i = jnp.take(ids.reshape(n_sub, lt), safe, axis=0,
+                 mode="clip").reshape(-1)
+    s = jnp.where(sub_idx < 0, -1, jnp.take(sub_list, safe, mode="clip"))
+    return c, i, s
 
 
 @functools.partial(jax.jit, static_argnames=("k", "lt"))
@@ -1189,7 +1266,8 @@ def cacheable_cls(index_type: str, nprobe: int = 40):
 
 
 def get_index(index_type: str, train_data: np.ndarray,
-              max_train: int = int(1e7), nprobe: int = 40):
+              max_train: int = int(1e7), nprobe: int = 40,
+              ef_search: int = 64):
     """Index factory (counterpart of get_index, get_index_faiss.py:10-121).
 
     'l2'/'ip' exact; 'ivf' = IVF-PQ with near-lossless settings is not
@@ -1197,7 +1275,10 @@ def get_index(index_type: str, train_data: np.ndarray,
     exact index; 'ivfpq' / 'ivfpq-rr' use the reference's compression
     parameters; 'ivf-sq8' is the TPU-native scalable index (int8 contiguous
     slice scans); 'hnsw' builds the native C++ graph index (host-side like
-    the reference's CPU-only faiss.IndexHNSWFlat, M=16 efC=80).
+    the reference's CPU-only faiss.IndexHNSWFlat, M=16). efConstruction
+    defaults to 200 — the measured setting where recall clears the faiss
+    parity bar (0.9868 @ ef_search 128 @ 500k; efC 80 tops out at 0.932) —
+    and ``ef_search`` sets the query-time beam (faiss default 64 equiv).
     """
     t = index_type.lower()
     d = train_data.shape[1]
@@ -1240,5 +1321,6 @@ def get_index(index_type: str, train_data: np.ndarray,
         return ShardedFlatIndex(train_data)
     if t == "hnsw":
         from nafp_tpu.native.hnsw import HNSWIndex
-        return HNSWIndex(d=d, m=16, ef_construction=80)
+        return HNSWIndex(d=d, m=16, ef_construction=200,
+                         ef_search=ef_search)
     raise ValueError(index_type)

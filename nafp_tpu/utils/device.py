@@ -63,6 +63,23 @@ def device_memory_stats() -> List[Dict]:
     return out
 
 
+def device_recon_budget(fallback: int = 4 << 30, frac: float = 0.5,
+                        stats: Dict = None) -> int:
+    """Bytes it is safe to spend on the eval's device-resident recon array
+    (``search/evaluate.py``): ``frac`` of device 0's free HBM
+    (limit − in_use) when the backend reports memory stats, else the
+    ``fallback`` constant. ``frac`` defaults to half so the index store,
+    decode transients and search blocks keep the other half — the exact
+    collision the old fixed 4 GiB constant could not see (a 4 GiB recon +
+    an int8 store + transients can overrun 16 GB HBM when the index is
+    also device-resident). ``stats`` injects a fake record for tests."""
+    s = stats if stats is not None else device_memory_stats()[0]
+    used, lim = s.get("bytes_in_use"), s.get("bytes_limit")
+    if used is None or not lim:
+        return fallback
+    return max(0, int((lim - used) * frac))
+
+
 def print_device_summary() -> None:
     for s in device_memory_stats():
         used = s["bytes_in_use"]

@@ -78,7 +78,8 @@ def test_evaluate_help_exposes_published_knobs():
     flat = r.output.replace("\n", "").replace(" ", "")  # undo help wrapping
     for idx_name in ("'sq8'", "'sq8-sharded'", "'ivf-sq8'"):
         assert idx_name in flat
-    for opt in ("--nprobe", "--k_probe", "--max_train", "--index_cache"):
+    for opt in ("--nprobe", "--k_probe", "--max_train", "--index_cache",
+                "--ef_search"):
         assert opt in r.output
 
 
@@ -98,13 +99,26 @@ def test_evaluate_forwards_new_knobs(monkeypatch, tmp_path):
         _load_run_cli(),
         ["evaluate", "ck", "5", "-i", "ivf-sq8", "--nprobe", "96",
          "--k_probe", "15", "--max_train", "1000000",
-         "--index_cache", str(tmp_path / "store.npz")])
+         "--index_cache", str(tmp_path / "store.npz"),
+         "--ef_search", "128"])
     assert r.exit_code == 0, r.output
     assert seen["nprobe"] == 96
     assert seen["k_probe"] == 15
     assert seen["max_train"] == 1000000
     assert seen["index_cache"].endswith("store.npz")
     assert seen["index_type"] == "ivf-sq8"
+    assert seen["ef_search"] == 128
+
+
+def test_factory_threads_ef_search(rng):
+    """get_index('hnsw', ..., ef_search=N) must set the query-time beam on
+    the returned index and default efConstruction to the measured parity
+    setting (200 — VERDICT r4 next #4)."""
+    import numpy as np
+    from nafp_tpu.search.index import get_index
+    db = rng.standard_normal((64, 16)).astype(np.float32)
+    idx = get_index("hnsw", db, ef_search=37)
+    assert idx.ef_search == 37
 
 
 def test_cacheable_covers_sharded_types():

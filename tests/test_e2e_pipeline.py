@@ -143,6 +143,30 @@ def test_generate_custom_source(e2e_cfg):
     assert os.path.exists(os.path.join(out_dir, "custom_source.mm"))
 
 
+def test_generate_sharded_matches_single_device(e2e_cfg):
+    """Sharded generate (fp pass over the 8-device CPU mesh, batch rows not
+    a mesh multiple so the host-side pad path runs) writes memmaps equal to
+    the single-device pass. Reference counterpart ``model/generate.py:
+    170-180`` ran its pass on one GPU; here the pass rides ('data',)."""
+    from nafp_tpu.data.audio_io import load_memmap
+    from nafp_tpu.generate import generate_fingerprint
+
+    outs = {}
+    for tag, ndev in (("gen1", 1), ("gen8", 8)):
+        cfg = {k: (dict(v) if isinstance(v, dict) else v)
+               for k, v in e2e_cfg.items()}
+        cfg["DEVICE"]["MESH_DATA_PARALLEL"] = ndev
+        cfg["BSZ"]["TS_BATCH_SZ"] = 6  # not a multiple of 8: pads to 8
+        outs[tag] = generate_fingerprint(
+            cfg, "e2e", assume_yes=True,
+            output_root_dir=e2e_cfg["DIR"]["OUTPUT_ROOT_DIR"] + tag + "/")
+    for key in ("dummy_db", "db", "query"):
+        a, _ = load_memmap(outs["gen1"], key, display=False)
+        b, _ = load_memmap(outs["gen8"], key, display=False)
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   atol=1e-5, err_msg=key)
+
+
 def test_eval_host_rescoring_matches_device(e2e_cfg):
     """The host (large-DB) scorer must reproduce the device scorer."""
     import nafp_tpu.search.evaluate as E
