@@ -438,3 +438,22 @@ def test_full_trainer_loop_triplet(tiny_cfg, monkeypatch):
     metrics = glob.glob(os.path.join(cfg["DIR"]["LOG_ROOT_DIR"], "fit",
                                      "t_trip", "*", "metrics.jsonl"))
     assert metrics and "loss/val" in open(metrics[0]).read()
+
+
+def test_device_batch_zero_standins_are_cached():
+    """Missing aug sources must map to ONE cached device array per (shape,
+    sharding), not a fresh host np.zeros shipped every step — the
+    re-shipping retained ~10 MB/step host-side through the remote-TPU
+    client and OOM-killed 100-epoch runs (fixed round 5)."""
+    from nafp_tpu.parallel.mesh import make_data_mesh
+    from nafp_tpu.train import trainer as T
+
+    mesh = make_data_mesh(1)
+    batch = {"anchors": np.zeros((4, 256), np.float32),
+             "replicas": np.zeros((4, 256), np.float32)}
+    a = T._device_batch(batch, mesh)
+    b = T._device_batch(batch, mesh)
+    for k in ("bg", "ir", "speech"):
+        assert a[k] is b[k], f"{k} stand-in rebuilt instead of cached"
+    assert float(jnp.abs(a["speech"]).max()) == 0.0
+    assert a["ir"].shape == (4, T.MAX_IR_LENGTH)
