@@ -206,6 +206,17 @@ def _call(q, db, rmask, bias_t, *, k, blk, lt, interpret):
     else:
         kern = functools.partial(_kernel_plain, k=k, blk=blk)
 
+    # Scoped-VMEM budget, same treatment the sq8 kernel got in r4: the
+    # kernel holds TWO (Bq, BLK) f32 buffers (sim tile + the merge's
+    # masked candidate copy; the masked variant adds the bias expansion)
+    # plus pipelined input blocks — a 512x2048 plain tile measured
+    # 16.59 MB scoped against Mosaic's 16 MB default (grid-length-
+    # dependent pipelining: the same tile compiled at 50 grid steps and
+    # overflowed at 64+, i.e. DBs past ~128 k rows). v5e has 128 MB
+    # physical VMEM; raise the limit to 6x the sim tile, never below the
+    # 16 MB default, capped well under physical.
+    tile = bq * blk * 4
+    vmem_limit = min(100 * 2**20, max(16 * 2**20, 6 * tile))
     out_v, out_i = pl.pallas_call(
         kern,
         grid=(n_blocks,),
@@ -224,6 +235,8 @@ def _call(q, db, rmask, bias_t, *, k, blk, lt, interpret):
             flops=2 * bq * n_pad * d,
             bytes_accessed=n_pad * d * dtype.itemsize + bq * d * 4,
             transcendentals=0),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=vmem_limit),
         interpret=interpret,
     )(*args)
     out_i = jnp.where(out_v <= NEG / 2, -1, out_i)
