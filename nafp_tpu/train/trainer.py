@@ -371,8 +371,32 @@ def trainer(cfg: Dict[str, Any], checkpoint_name: str) -> None:
     # TPU-native replacement for per-step waveform shipping when the corpus
     # fits (see data/device_corpus.py). Batches come back as device arrays;
     # everything downstream is unchanged.
-    from nafp_tpu.data.device_corpus import maybe_device_loader
+    from nafp_tpu.data.device_corpus import (DeviceGatherLoader,
+                                             maybe_device_loader)
     train_ds = maybe_device_loader(train_ds, cfg, label="train corpus")
+    # Large-batch host-loader runs ship O(batch x T) waveform bytes every
+    # step. Besides the link traffic, the remote-TPU tunnel client RETAINS
+    # each transfer host-side (measured: a bsz-5120 host-loader epoch
+    # ratchets RSS by ~the shipped volume, ~8 GB/epoch, until allocator
+    # pressure stalls the decoder — same mechanism as the zero-stand-in
+    # leak fixed in _zeros_global). DEVICE_CORPUS ships only index pairs
+    # and is the intended mode for any corpus that fits HBM; warn loudly
+    # instead of degrading silently.
+    if (lead and not isinstance(train_ds, DeviceGatherLoader)
+            and jax.default_backend() != "cpu"):
+        seg = int(cfg["MODEL"]["DUR"] * cfg["MODEL"]["FS"])
+        bsz = int(cfg["BSZ"]["TR_BATCH_SZ"])
+        n_rep = bsz - int(cfg["BSZ"]["TR_N_ANCHOR"])
+        n_aug = sum(bool(cfg["TD_AUG"].get(k)) for k in
+                    ("TR_BG_AUG", "TR_IR_AUG", "TR_SPEECH_AUG"))
+        per_step = 4 * seg * (bsz + n_rep * n_aug)
+        if per_step > 64 << 20:
+            print(f"[trainer] WARNING: host loader ships "
+                  f"~{per_step / 2**20:.0f} MB/step at bsz {bsz}; on a "
+                  f"remote-TPU backend the client retains transfers "
+                  f"(host RSS grows ~shipped bytes). Set "
+                  f"DEVICE.DEVICE_CORPUS: true if the corpus fits HBM.",
+                  flush=True)
 
     params = init_params(cfg, model, mcfg)
     # Optimizer state covers the 'params' collection only; BN batch_stats
